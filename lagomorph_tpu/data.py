@@ -1,0 +1,756 @@
+"""Dataset zoo, HDF5/Zarr I/O, caching, and streaming averages.
+
+API mirror of the reference's lagomorph/data.py, torch-free: datasets yield
+numpy arrays, batching is a thin host-side iterator feeding
+``jax.device_put`` (with batch sharding on a mesh), and item caches use
+``numpy.save`` instead of ``torch.save``.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import h5py
+
+from .utils import tqdm, Tool
+
+__all__ = [
+    "Dataset",
+    "MemoryDataset",
+    "ZarrDataset",
+    "H5Dataset",
+    "IndexedDataset",
+    "SubsetDataset",
+    "MapDataset",
+    "CropDataset",
+    "NumexprDataset",
+    "DownscaledDataset",
+    "PreCachedDataset",
+    "LazyCachedDataset",
+    "CachedDataLoader",
+    "batch_iterator",
+    "dataset_length",
+    "batch_average",
+    "write_dataset_h5",
+    "write_dataset_zarr",
+    "write_dataset",
+    "load_dataset",
+]
+
+
+class Dataset:
+    """Minimal dataset protocol: ``__len__`` and ``__getitem__``."""
+
+    def __len__(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, idx):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+def dataset_length(dataset):
+    return len(dataset)
+
+
+class MemoryDataset(Dataset):
+    """Pre-load an entire dataset into host memory.
+
+    (The reference's MemoryDataset.__getitem__ returns None — data.py:19-20,
+    a known defect noted in SURVEY.md §2.2; this one returns the element.)
+    """
+
+    def __init__(self, dataset, progress_bar=True):
+        rng = range(len(dataset))
+        if progress_bar:
+            rng = tqdm(rng, "pre-loading data")
+        self.elements = [dataset[i] for i in rng]
+
+    def __len__(self):
+        return len(self.elements)
+
+    def __getitem__(self, idx):
+        return self.elements[idx]
+
+
+class ZarrDataset(Dataset):
+    """Zarr-backed dataset (reference data.py:23-39)."""
+
+    def __init__(self, path, key="images", force_dim=None):
+        try:
+            import zarr
+        except ImportError:
+            print("Please install the zarr library to use ZarrDataset.")
+            raise
+        self.path = path
+        self.key = key
+        self.ds = zarr.open(path)[key]
+
+    def __len__(self):
+        return self.ds.shape[0]
+
+    def __getitem__(self, idx):
+        return np.asarray(self.ds[idx, ...])
+
+
+class H5Dataset(Dataset):
+    """Generic dataset for HDF5 files whose first dimension indexes subjects
+    (reference data.py:42-90).  ``key`` may be a tuple of dataset names, in
+    which case a tuple of arrays is returned; ``force_dim`` prepends
+    singleton axes to the first key's items until they are (1+dim)-D."""
+
+    def __init__(self, h5path, key="images", dtype=None, force_dim=None):
+        self.h5path = h5path
+        if not isinstance(key, (tuple, list)):
+            key = (key,)
+        self.key = tuple(key)
+        if not isinstance(dtype, (tuple, list)):
+            dtype = tuple([dtype for _ in self.key])
+        self.dtype = tuple(dtype)
+        self.force_dim = force_dim
+
+        with h5py.File(self.h5path, "r") as f:
+            l = None
+            for k in self.key:
+                if l is None:
+                    l = f[k].shape[0]
+                elif f[k].shape[0] != l:
+                    raise Exception(f"Mismatched lengths of datasets with keys {key}")
+            self._len = l
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, idx):
+        Is = []
+        # open per item for multi-process safety (reference data.py:71-90)
+        for i, (k, dt) in enumerate(zip(self.key, self.dtype)):
+            with h5py.File(self.h5path, "r") as f:
+                I = np.asarray(f[k][idx, ...])
+            if i == 0:
+                if dt is not None:
+                    I = I.astype(dt)
+                if self.force_dim is not None:
+                    if len(I.shape) > self.force_dim + 1:
+                        raise Exception(
+                            f"Cannot force dimension to {self.force_dim} from {len(I.shape)}"
+                        )
+                    while len(I.shape) < self.force_dim + 1:
+                        I = I[None]
+            Is.append(I)
+        if len(Is) == 1:
+            return Is[0]
+        return tuple(Is)
+
+
+class IndexedDataset(Dataset):
+    """Return (index, element) pairs (reference data.py:93-103)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        return idx, self.dataset[idx]
+
+
+class SubsetDataset(Dataset):
+    """Extract a list of elements of a dataset (reference data.py:106-118)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(np.asarray(indices).reshape(-1))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+
+class MapDataset(Dataset):
+    """Map a function over a dataset (reference data.py:121-132)."""
+
+    def __init__(self, dataset, fun):
+        self.dataset = dataset
+        self.fun = fun
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.fun(self.dataset[idx])
+
+
+class CropDataset(Dataset):
+    """Crop all items with per-axis (start, stop, step) slices (reference
+    data.py:135-159); missing leading axes get full slices."""
+
+    def __init__(self, dataset, slices):
+        self.dataset = dataset
+        ds0 = self.dataset[0]
+        slices = list(slices)
+        if len(slices) < len(ds0.shape):
+            slices = [(None, None, None)] * (len(ds0.shape) - len(slices)) + slices
+        self.slices = tuple(slice(*s) for s in slices)
+        del ds0
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        return np.ascontiguousarray(self.dataset[idx][self.slices])
+
+
+class NumexprDataset(Dataset):
+    """Apply a numexpr expression in terms of x (reference data.py:162-174).
+    Falls back to ``eval`` with numpy if numexpr is unavailable."""
+
+    def __init__(self, dataset, expression):
+        self.dataset = dataset
+        self.expression = expression
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        x = np.asarray(self.dataset[idx])
+        try:
+            import numexpr
+
+            return numexpr.evaluate(self.expression)
+        except ImportError:
+            return eval(self.expression, {"np": np, "x": x})
+
+
+class DownscaledDataset(Dataset):
+    """Average-pool each item by an integer factor over its spatial axes
+    (all but the first/channel axis), reference data.py:177-195."""
+
+    def __init__(self, dataset, scale):
+        self.dataset = dataset
+        self.scale = int(scale)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        J = np.asarray(self.dataset[idx])
+        if J.dtype not in (np.float32, np.float64):
+            J = J.astype(np.float32)
+        s = self.scale
+        spatial = J.shape[1:]
+        # crop to multiples, then reshape-mean (avg pool, stride == kernel)
+        crop = tuple(slice(0, (n // s) * s) for n in spatial)
+        J = J[(slice(None),) + crop]
+        newshape = [J.shape[0]]
+        pool_axes = []
+        for n in J.shape[1:]:
+            newshape.extend([n // s, s])
+            pool_axes.append(len(newshape) - 1)
+        return J.reshape(newshape).mean(axis=tuple(pool_axes))
+
+
+class PreCachedDataset(Dataset):
+    """Cache items to a tempdir during initialization (reference
+    data.py:198-223)."""
+
+    def __init__(self, dataset, sampler=None, cache_dir=None):
+        import tempfile
+
+        self.dataset = dataset
+        if sampler is None:
+            sampler = range(len(dataset))
+        self.sampler = sampler
+        self._tmpdir = tempfile.TemporaryDirectory(
+            dir=cache_dir, prefix="lagomorph_tpu.PreCachedDataset."
+        )
+        self.tmpdir = self._tmpdir.name
+        for j in sampler:
+            np.save(self.filename(j), np.asarray(dataset[j]))
+
+    def filename(self, j):
+        return os.path.join(self.tmpdir, f"{j}.npy")
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, j):
+        fn = self.filename(j)
+        if not os.path.isfile(fn):
+            raise ValueError(f"Index {j} was not cached by PreCachedDataset")
+        return np.load(fn)
+
+
+class LazyCachedDataset(Dataset):
+    """Cache items to a tempdir as they are requested (reference
+    data.py:226-252)."""
+
+    def __init__(self, dataset, cache_dir=None):
+        import tempfile
+
+        self.dataset = dataset
+        self._tmpdir = tempfile.TemporaryDirectory(
+            dir=cache_dir, prefix="lagomorph_tpu.LazyCachedDataset."
+        )
+        self.tmpdir = self._tmpdir.name
+
+    def filename(self, j):
+        return os.path.join(self.tmpdir, f"{j}.npy")
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, j):
+        fn = self.filename(j)
+        if os.path.isfile(fn):
+            return np.load(fn)
+        di = np.asarray(self.dataset[j])
+        np.save(fn, di)
+        return di
+
+
+def batch_iterator(dataset, batch_size, dtype=None, indices=None):
+    """Yield stacked numpy minibatches from a dataset (the host-side
+    replacement for torch DataLoader in the atlas builders).
+
+    If items are (index, array) pairs (IndexedDataset), yields
+    ``(indices, batch)`` pairs.
+    """
+    n = len(dataset)
+    order = range(n) if indices is None else indices
+    order = list(order)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        items = [dataset[i] for i in chunk]
+        if items and isinstance(items[0], tuple) and len(items[0]) == 2 and np.isscalar(items[0][0]):
+            ix = np.asarray([it[0] for it in items])
+            arr = np.stack([np.asarray(it[1]) for it in items])
+            if dtype is not None:
+                arr = arr.astype(dtype)
+            yield ix, arr
+        else:
+            arr = np.stack([np.asarray(it) for it in items])
+            if dtype is not None:
+                arr = arr.astype(dtype)
+            yield arr
+
+
+class CachedDataLoader:
+    """Pass through a batch iterator once, caching minibatches to disk, then
+    replay from disk (reference data.py:255-305)."""
+
+    def __init__(self, batches, cache_dir=None, progress_bar=True):
+        import tempfile
+
+        self._tmpdir = tempfile.TemporaryDirectory(
+            dir=cache_dir, prefix="lagomorph_tpu.CachedDataLoader."
+        )
+        self.tmpdir = self._tmpdir.name
+        self.filenames = []
+        bar = batches
+        if progress_bar:
+            bar = tqdm(bar, desc="Caching minibatches")
+        for j, b in enumerate(bar):
+            fn = os.path.join(self.tmpdir, f"{j}.npy")
+            np.save(fn, np.asarray(b))
+            self.filenames.append(fn)
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __iter__(self):
+        for f in self.filenames:
+            yield np.load(f)
+
+
+def batch_average(batches, dim=0, progress_bar=True):
+    """Streaming average over minibatches along ``dim`` in float64 (reference
+    data.py:308-336).  ``batches`` is an iterable of numpy arrays or
+    (indices, array) pairs."""
+    avg = None
+    dtype = None
+    sumsizes = 0
+    it = batches
+    if progress_bar:
+        it = tqdm(it, "image avg")
+    for img in it:
+        if isinstance(img, tuple):
+            _, img = img
+        img = np.asarray(img)
+        sz = img.shape[dim]
+        if dtype is None:
+            dtype = img.dtype
+        avi = img.astype(np.float64).sum(axis=dim)
+        if avg is None:
+            avg = avi / sz
+        else:
+            avg = avg * (sumsizes / (sumsizes + sz)) + avi / (sumsizes + sz)
+        sumsizes += sz
+    if dtype in (np.float32, np.float64):
+        avg = avg.astype(dtype)
+    return avg
+
+
+def write_dataset_h5(dataset, h5path, key="images"):
+    """Write a dataset in the standard lzf-chunked HDF5 format (reference
+    data.py:339-387)."""
+    if not isinstance(key, (list, tuple)):
+        key = (key,)
+    with h5py.File(h5path, "w") as f:
+        ds0 = dataset[0]
+        if not isinstance(ds0, (list, tuple)):
+            ds0 = (ds0,)
+        if len(ds0) != len(key):
+            raise Exception(
+                f"Dataset returns tuple with {len(ds0)} entries, "
+                f"but only {len(key)} keys given"
+            )
+        ds = []
+        for d, k in zip(ds0, key):
+            d = np.asarray(d)
+            ds.append(
+                f.create_dataset(
+                    k,
+                    shape=(len(dataset), *d.shape),
+                    dtype=d.dtype,
+                    chunks=(1, *d.shape),
+                    compression="lzf",
+                )
+            )
+        for i in tqdm(range(len(dataset))):
+            di = dataset[i]
+            if not isinstance(di, (list, tuple)):
+                di = (di,)
+            for I, dsi in zip(di, ds):
+                dsi[i, ...] = np.asarray(I)
+
+
+def write_dataset_zarr(dataset, path, key="images"):
+    """Write a dataset as Zarr (reference data.py:389-436)."""
+    try:
+        import zarr
+    except ImportError:
+        print("Please install the zarr library to use write_dataset_zarr.")
+        raise
+
+    if not isinstance(key, tuple):
+        key = (key,)
+    store = zarr.DirectoryStore(path)
+    root = zarr.group(store=store, overwrite=True)
+    ds0 = dataset[0]
+    if not isinstance(ds0, tuple):
+        ds0 = (ds0,)
+    if len(ds0) != len(key):
+        raise Exception(
+            f"Dataset returns tuple with {len(ds0)} entries, "
+            f"but only {len(key)} keys given"
+        )
+    ds = []
+    for d, k in zip(ds0, key):
+        d = np.asarray(d)
+        ds.append(
+            root.zeros("/" + k, shape=(len(dataset), *d.shape), chunks=(1, *d.shape), dtype=d.dtype)
+        )
+    for i, di in enumerate(tqdm(dataset)):
+        if not isinstance(di, (tuple, list)):
+            di = [di]
+        for I, dsi in zip(di, ds):
+            dsi[i, ...] = np.asarray(I)
+
+
+def write_dataset(dataset, path, **kwargs):
+    _, ext = os.path.splitext(path)
+    if ext.lower() in [".h5", ".hdf5", ".hdf"]:
+        return write_dataset_h5(dataset, path, **kwargs)
+    elif ext.lower() in [".zarr"]:
+        return write_dataset_zarr(dataset, path, **kwargs)
+    raise RuntimeError(f'Could not determine file type from extension "{ext}"')
+
+
+def load_dataset(path, **kwargs):
+    _, ext = os.path.splitext(path)
+    if ext.lower() in [".h5", ".hdf5", ".hdf"]:
+        return H5Dataset(path, **kwargs)
+    elif ext.lower() in [".zarr"]:
+        return ZarrDataset(path, **kwargs)
+    raise RuntimeError(f'Could not determine file type from extension "{ext}"')
+
+
+class _Tool(Tool):
+    """Generic dataset utilities not specific to one class of registration methods"""
+
+    module_name = "lagomorph_tpu data"
+    subcommands = ["average", "crop", "downscale", "numexpr", "split", "splitcv"]
+
+    @staticmethod
+    def copy_other_keys(infile, outfile, key):
+        with h5py.File(infile, "r") as fi, h5py.File(outfile, "a") as fo:
+            for k in tqdm(fi.keys(), desc="other keys"):
+                if (isinstance(key, str) and k != key) or (
+                    isinstance(key, (list, tuple)) and k not in key
+                ):
+                    fi.copy(k, fo)
+
+    def average(self):
+        """Average a dataset inside an HDF5 file in the first dimension"""
+        import sys
+
+        parser = self.new_parser("average")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument("output", type=str, help="Path to output HDF5 file")
+        parser.add_argument(
+            "--h5key", default="images", help="Name of dataset in input HDF5 file"
+        )
+        parser.add_argument(
+            "--output_h5key",
+            default="average_image",
+            help="Name of dataset in output HDF5 file",
+        )
+        parser.add_argument("--batch_size", default=50, type=int, help="Batch size")
+        args = parser.parse_args(sys.argv[2:])
+
+        dataset = H5Dataset(args.input, key=args.h5key)
+        Iav = batch_average(batch_iterator(dataset, args.batch_size))
+        with h5py.File(args.output, "w") as f:
+            ds = f.create_dataset(args.output_h5key, data=Iav[None])
+            self._stamp_dataset(ds, args)
+
+    def downscale(self):
+        """Downscale an image dataset using average pooling"""
+        import sys
+
+        parser = self.new_parser("downscale")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument("output", type=str, help="Path to output HDF5 file")
+        parser.add_argument(
+            "--key", default="images", help="Name of dataset in input and HDF5 files"
+        )
+        parser.add_argument(
+            "--scale", default=2, type=int, help="Width of average pooling window"
+        )
+        parser.add_argument(
+            "--copy_other_keys",
+            action="store_true",
+            help="Copy all other keys from input file into output verbatim",
+        )
+        args = parser.parse_args(sys.argv[2:])
+
+        dataset = load_dataset(args.input, key=args.key)
+        dsds = DownscaledDataset(dataset, scale=args.scale)
+        write_dataset(dsds, args.output, key=args.key)
+        with h5py.File(args.output, "a") as f:
+            self._stamp_dataset(f[args.key], args)
+        if args.copy_other_keys:
+            self.copy_other_keys(args.input, args.output, args.key)
+
+    def crop(self):
+        """Crop all the images in an image dataset"""
+        import sys
+
+        parser = self.new_parser("crop")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument("output", type=str, help="Path to output HDF5 file")
+        parser.add_argument(
+            "--h5key", default="images", help="Name of dataset in input and HDF5 files"
+        )
+        parser.add_argument(
+            "--slices",
+            required=True,
+            help='Ranges of pixels in each dimension, comma- and colon-separated (e.g. "5:-5,0:127,0:256")',
+        )
+        parser.add_argument(
+            "--copy_other_keys",
+            action="store_true",
+            help="Copy all other keys from input file into output verbatim",
+        )
+        args = parser.parse_args(sys.argv[2:])
+
+        dataset = H5Dataset(args.input, key=args.h5key)
+
+        slices = []
+        for slicestr in args.slices.split(","):
+            step = start = stop = None
+            parts = slicestr.split(":")
+            if len(parts) == 1:
+                stop = int(parts[0])
+            elif len(parts) >= 2:
+                start = int(parts[0]) if parts[0] else None
+                stop = int(parts[1]) if parts[1] else None
+                if len(parts) == 3 and parts[2]:
+                    step = int(parts[2])
+            slices.append((start, stop, step))
+
+        dsds = CropDataset(dataset, slices=slices)
+        write_dataset_h5(dsds, args.output, key=args.h5key)
+        with h5py.File(args.output, "a") as f:
+            self._stamp_dataset(f[args.h5key], args)
+        if args.copy_other_keys:
+            self.copy_other_keys(args.input, args.output, args.h5key)
+
+    def numexpr(self):
+        """Apply a numeric expression to an image dataset using numexpr"""
+        import sys
+
+        parser = self.new_parser("numexpr")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument("output", type=str, help="Path to output HDF5 file")
+        parser.add_argument(
+            "--h5key", default="images", help="Name of dataset in input and HDF5 files"
+        )
+        parser.add_argument(
+            "--expression",
+            "-e",
+            required=True,
+            help='Expression to evaluate, in terms of variable x. (e.g. "x/255")',
+        )
+        parser.add_argument(
+            "--copy_other_keys",
+            action="store_true",
+            help="Copy all other keys from input file into output verbatim",
+        )
+        args = parser.parse_args(sys.argv[2:])
+
+        dataset = H5Dataset(args.input, key=args.h5key)
+        dsds = NumexprDataset(dataset, expression=args.expression)
+        write_dataset_h5(dsds, args.output, key=args.h5key)
+        with h5py.File(args.output, "a") as f:
+            self._stamp_dataset(f[args.h5key], args)
+        if args.copy_other_keys:
+            self.copy_other_keys(args.input, args.output, args.h5key)
+
+    def split(self):
+        """Split a dataset into training and testing (or validation)"""
+        import sys
+
+        parser = self.new_parser("split")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument(
+            "train_output", type=str, help="Path to output HDF5 file (training)"
+        )
+        parser.add_argument(
+            "test_output", type=str, help="Path to output HDF5 file (testing)"
+        )
+        parser.add_argument(
+            "--h5keys",
+            default="images,labels",
+            help="Name of datasets in input and HDF5 files (comma-separated)",
+        )
+        parser.add_argument(
+            "--copy_other_keys",
+            action="store_true",
+            help="Copy all other keys from input file into output verbatim",
+        )
+        parser.add_argument(
+            "--random_seed", default=0, type=int, help="Random seed for the split"
+        )
+        parser.add_argument(
+            "--test_size",
+            default=0.25,
+            help="If <= 1, proportion of dataset; otherwise number of samples.",
+        )
+        parser.add_argument(
+            "--stratify_key", default=None, help="Key to use for stratification labels"
+        )
+        args = parser.parse_args(sys.argv[2:])
+
+        keys = args.h5keys.split(",")
+        test_size = float(args.test_size)
+        if test_size > 1:
+            test_size = int(test_size)
+
+        dataset = H5Dataset(args.input, key=keys)
+
+        stratify = None
+        if args.stratify_key is not None:
+            with h5py.File(args.input, "r") as f:
+                stratify = np.array(f[args.stratify_key])
+            if len(stratify.shape) == 2 and stratify.shape[1] == 1:
+                stratify = stratify.squeeze(1)
+            elif len(stratify.shape) > 2:
+                raise Exception(
+                    f"Dimension of dataset {args.stratify_key} cannot be more than two"
+                )
+
+        from sklearn.model_selection import train_test_split
+
+        ix_train, ix_test = train_test_split(
+            range(len(dataset)),
+            test_size=test_size,
+            random_state=args.random_seed,
+            stratify=stratify,
+        )
+
+        for ix, out in ((ix_train, args.train_output), (ix_test, args.test_output)):
+            ds = SubsetDataset(dataset, ix)
+            write_dataset_h5(ds, out, key=keys)
+            with h5py.File(out, "a") as f:
+                self._stamp_dataset(f[keys[0]], args)
+            if args.copy_other_keys:
+                self.copy_other_keys(args.input, out, keys)
+
+    def splitcv(self):
+        """Split a dataset into training and testing sets for cross-validation"""
+        import sys
+
+        parser = self.new_parser("splitcv")
+        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
+        parser.add_argument(
+            "output_format",
+            type=str,
+            help="Path to output HDF5 file (use placeholders {fold} and {split})",
+        )
+        parser.add_argument(
+            "--h5keys",
+            default="images,labels",
+            help="Name of datasets in input and HDF5 files (comma-separated)",
+        )
+        parser.add_argument(
+            "--copy_other_keys",
+            action="store_true",
+            help="Copy all other keys from input file into output verbatim",
+        )
+        parser.add_argument(
+            "--random_seed", default=0, type=int, help="Random seed for the split"
+        )
+        parser.add_argument(
+            "--num_folds", default=2, type=int, help="Number of cross-validation folds"
+        )
+        parser.add_argument(
+            "--stratify_key", default=None, help="Key to use for stratification labels"
+        )
+        args = parser.parse_args(sys.argv[2:])
+
+        keys = args.h5keys.split(",")
+        dataset = H5Dataset(args.input, key=keys)
+
+        stratify = None
+        if args.stratify_key is not None:
+            with h5py.File(args.input, "r") as f:
+                stratify = np.array(f[args.stratify_key])
+            if len(stratify.shape) == 2 and stratify.shape[1] == 1:
+                stratify = stratify.squeeze(1)
+
+        from sklearn.model_selection import KFold, StratifiedKFold
+
+        if stratify is None:
+            kf = KFold(
+                n_splits=args.num_folds, shuffle=True, random_state=args.random_seed
+            )
+            splits = kf.split(np.arange(len(dataset)))
+        else:
+            kf = StratifiedKFold(
+                n_splits=args.num_folds, shuffle=True, random_state=args.random_seed
+            )
+            splits = kf.split(np.arange(len(dataset)), stratify)
+
+        for i, (ix_train, ix_test) in enumerate(splits):
+            for ix, split in ((ix_train, "train"), (ix_test, "test")):
+                name = args.output_format.format(fold=i, split=split)
+                ds = SubsetDataset(dataset, ix)
+                write_dataset_h5(ds, name, key=keys)
+                with h5py.File(name, "a") as f:
+                    self._stamp_dataset(f[keys[0]], args)
+                if args.copy_other_keys:
+                    self.copy_other_keys(args.input, name, keys)

@@ -1,0 +1,52 @@
+"""Deformation-field utilities: identity grids, warping, composition.
+
+API mirror of the reference's lagomorph/deform.py, TPU-native.
+All tensors are NC(D)HW: batch, channel, then spatial dims; a displacement
+field has ``dim`` channels.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops.interp import interp, splat, interp_hessian_diagonal_image
+from .ops.sampling import identity_grid
+
+__all__ = [
+    "identity",
+    "identity_grid",
+    "interp",
+    "splat",
+    "interp_hessian_diagonal_image",
+    "compose",
+    "compose_disp_vel",
+    "compose_vel_disp",
+]
+
+
+def identity(defshape, dtype=np.float32):
+    """Identity coordinate field for a deformation shape in NC(D)HW order.
+
+    Reference: lagomorph/deform.py:10-21.  Returns ``(N, dim, *spatial)``.
+    """
+    dim = len(defshape) - 2
+    spatial = tuple(defshape[2:])
+    grid = identity_grid(spatial, dtype=jnp.dtype(dtype))
+    return jnp.broadcast_to(grid[None], (defshape[0], dim) + spatial)
+
+
+def compose(u, v, ds=1.0, dt=1.0):
+    """Return ``ds*u(x) + dt*v(x + ds*u(x))`` (reference deform.py:53-55)."""
+    return ds * u + dt * interp(v, u, dt=ds)
+
+
+def compose_disp_vel(u, v, dt=1.0):
+    """Displacement-then-velocity composition: ``dt*v(x) + u(x + dt*v(x))``
+    (reference deform.py:58-62)."""
+    return compose(v, u, ds=dt, dt=1.0)
+
+
+def compose_vel_disp(v, u, dt=1.0):
+    """Velocity-then-displacement composition: ``u(x) + dt*v(x + u(x))``
+    (reference deform.py:65-70)."""
+    return compose(u, v, ds=1.0, dt=dt)

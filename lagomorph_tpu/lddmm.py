@@ -1,0 +1,646 @@
+"""Large Deformation Diffeomorphic Metric Mapping (LDDMM) vector-momentum
+shooting algorithms and the LDDMM atlas builder.
+
+API mirror of the reference's lagomorph/lddmm.py, rebuilt TPU-first:
+
+* ``expmap`` integrates EPDiff with ``lax.scan`` (optionally wrapped in
+  ``jax.checkpoint`` to rematerialize the shooting loop in the backward pass
+  — replacing both the reference's default full autograd tape and its
+  ``EPDiffStepsFunction`` checkpointing, lddmm.py:47-70).
+* The atlas builder runs a fully jitted update step (shoot -> warp -> loss ->
+  grads for momenta and atlas) with donated buffers, data-parallel over a
+  ``jax.sharding.Mesh`` batch axis; cross-device reductions are XLA
+  collectives inserted by GSPMD instead of explicit NCCL all_reduce calls
+  (reference lddmm.py:196-198,293-295,333-335).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import deform
+from . import adjrep
+from .metric import FluidMetric, Metric
+from .ops.affine import regrid
+from .utils import tqdm, Tool
+
+__all__ = [
+    "expmap",
+    "expmap_advect",
+    "EPDiff_step",
+    "EPDiff_steps",
+    "LDDMMAtlasBuilder",
+    "lddmm_atlas",
+]
+
+
+def EPDiff_step(metric, m0, dt, phiinv, mommask=None):
+    """One step of EPDiff in integrated (deformation) form: transport the
+    initial momentum with ``Ad^*``, sharp to a velocity, and compose into
+    the inverse deformation (reference lddmm.py:39-44)."""
+    m = adjrep.Ad_star(phiinv, m0)
+    if mommask is not None:
+        m = m * mommask
+    v = metric.sharp(m)
+    return deform.compose_disp_vel(phiinv, v, dt=-dt)
+
+
+def expmap(
+    metric,
+    m0,
+    T=1.0,
+    num_steps=10,
+    phiinv=None,
+    mommask=None,
+    checkpoints=False,
+):
+    """Geodesic shooting: given initial momentum ``m0`` compute the inverse
+    deformation ``phi^{-1}`` at time ``T`` (reference lddmm.py:73-105).
+
+    ``checkpoints``: if truthy, wrap each integration step in
+    ``jax.checkpoint`` so the backward pass rematerializes instead of
+    storing all intermediates — O(1) memory in the number of steps.
+    """
+    if phiinv is None:
+        phiinv = jnp.zeros_like(m0)
+    dt = T / num_steps
+
+    def step(phiinv, _):
+        return EPDiff_step(metric, m0, dt, phiinv, mommask=mommask), None
+
+    if checkpoints:
+        step = jax.checkpoint(step)
+    phiinv, _ = jax.lax.scan(step, phiinv, None, length=num_steps)
+    return phiinv
+
+
+def EPDiff_steps(metric, m0, dt, N, phiinv):
+    """Gradient-checkpointed block of N EPDiff steps (API analogue of the
+    reference's EPDiffStepsFunction, lddmm.py:47-70)."""
+
+    @jax.checkpoint
+    def step(phiinv, _):
+        return EPDiff_step(metric, m0, dt, phiinv), None
+
+    phiinv, _ = jax.lax.scan(step, phiinv, None, length=N)
+    return phiinv
+
+
+def expmap_advect(metric, m, T=1.0, num_steps=10, phiinv=None):
+    """EPDiff by explicit Euler advection of the momentum (non-integrated
+    form): ``d/dt m = -ad_v^* m`` (reference lddmm.py:20-36)."""
+    if phiinv is None:
+        phiinv = jnp.zeros_like(m)
+    dt = T / num_steps
+    v = metric.sharp(m)
+    phiinv = deform.compose_disp_vel(phiinv, v, dt=-dt)
+
+    def step(carry, _):
+        m, phiinv = carry
+        v = metric.sharp(m)
+        m = m - dt * adjrep.ad_star(v, m)
+        v = metric.sharp(m)
+        phiinv = deform.compose_disp_vel(phiinv, v, dt=-dt)
+        return (m, phiinv), None
+
+    if num_steps > 1:
+        (m, phiinv), _ = jax.lax.scan(step, (m, phiinv), None, length=num_steps - 1)
+    return phiinv
+
+
+# ---------------------------------------------------------------------------
+# Atlas building
+# ---------------------------------------------------------------------------
+
+
+def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
+                image_shape=None):
+    """Loss for one minibatch: MSE(I ∘ phi^{-1}(m), img)/|Ω| + reg.
+
+    Matches reference lddmm_step (lddmm.py:300-325), including the regrid
+    path when momenta live on a coarser grid than the image."""
+    h = expmap(metric, m, num_steps=integration_steps, checkpoints=checkpoints)
+    regrid_momenta = image_shape is not None and tuple(h.shape[2:]) != tuple(image_shape)
+    if regrid_momenta:
+        # NOTE: the reference upscales the deformation without rescaling the
+        # displacement vectors (lddmm.py:306-307 calls regrid without
+        # displacement=True); we reproduce that behavior for parity.
+        h = regrid(h, shape=tuple(image_shape))
+    Idef = deform.interp(I, h)
+    v = metric.sharp(m)
+    numel = img.size
+    reg_term = reg_weight * jnp.sum(v * m) / numel
+    if regrid_momenta:
+        # account for coarser averaging grid (reference lddmm.py:311-312)
+        reg_term = reg_term * (I.size / v[0, 0].size)
+    loss = jnp.sum((Idef - img) ** 2) / numel + reg_term
+    return loss, reg_term
+
+
+def make_lddmm_atlas_step(
+    metric,
+    reg_weight=1e2,
+    learning_rate_pose=2e2,
+    lddmm_steps=1,
+    integration_steps=5,
+    momentum_preconditioning=False,
+    checkpoints=False,
+    image_shape=None,
+):
+    """Build the jitted per-minibatch atlas update.
+
+    Returns ``step(I, m, img) -> (m_new, I_grad, loss, reg_term)`` where
+    ``I_grad`` is the atlas-image gradient contribution of this minibatch
+    (summed over the batch — accumulated by the caller, reference
+    lddmm.py:287-298).  Everything inside is pure; the caller jits it with
+    shardings/donation.
+    """
+
+    def loss_fn(m, I, img):
+        return _lddmm_loss(
+            I, m, img, metric, reg_weight, integration_steps, checkpoints,
+            image_shape=image_shape,
+        )
+
+    def step(I, m, img):
+        loss = reg = None
+        gI = None
+        for lit in range(lddmm_steps):
+            last = lit == lddmm_steps - 1
+            if last:
+                (loss, reg), (gm, gI) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(m, I, img)
+            else:
+                (loss, reg), gm = jax.value_and_grad(loss_fn, has_aux=True)(
+                    m, I, img
+                )
+            p = metric.flat(gm) if momentum_preconditioning else gm
+            m = m - learning_rate_pose * p
+        return m, gI, loss, reg
+
+    return step
+
+
+def lddmm_atlas(
+    dataset,
+    I0=None,
+    num_epochs=500,
+    batch_size=10,
+    lddmm_steps=1,
+    lddmm_integration_steps=5,
+    image_update_freq=0,
+    reg_weight=1e2,
+    learning_rate_pose=2e2,
+    learning_rate_image=1e4,
+    metric=None,
+    momentum_shape=None,
+    image_shape=None,
+    momentum_preconditioning=False,
+    checkpoint_format=None,
+    gradient_checkpointing=False,
+    ms=None,
+    mesh=None,
+    progress_bar=True,
+    dtype=np.float32,
+):
+    """Functional LDDMM atlas building (see :class:`LDDMMAtlasBuilder` for
+    the stateful API mirror).  Returns ``(I, ms, epoch_losses,
+    epoch_reg_terms, iter_losses, iter_reg_terms)``."""
+    builder = LDDMMAtlasBuilder(
+        dataset,
+        I0=I0,
+        ms=ms,
+        num_epochs=num_epochs,
+        batch_size=batch_size,
+        lddmm_steps=lddmm_steps,
+        lddmm_integration_steps=lddmm_integration_steps,
+        image_update_freq=image_update_freq,
+        reg_weight=reg_weight,
+        learning_rate_pose=learning_rate_pose,
+        learning_rate_image=learning_rate_image,
+        metric=metric,
+        momentum_shape=momentum_shape,
+        image_shape=image_shape,
+        momentum_preconditioning=momentum_preconditioning,
+        checkpoint_format=checkpoint_format,
+        gradient_checkpointing=gradient_checkpointing,
+        mesh=mesh,
+        progress_bar=progress_bar,
+        dtype=dtype,
+    )
+    builder.run()
+    return (
+        builder.I,
+        builder.ms,
+        builder.epoch_losses,
+        builder.epoch_reg_terms,
+        builder.iter_losses,
+        builder.iter_reg_terms,
+    )
+
+
+class LDDMMAtlasBuilder:
+    """Stateful LDDMM atlas builder (API mirror of reference lddmm.py:108-375).
+
+    The compute path is one jitted function per configuration; per-subject
+    momenta are kept on host (numpy) between iterations — the TPU analogue
+    of the reference's pinned-CPU momenta staging (lddmm.py:226-236,
+    327-337) — and streamed through device memory minibatch by minibatch.
+
+    With a :class:`jax.sharding.Mesh` (``mesh`` argument), the batch axis of
+    images and momenta is sharded over the mesh's ``'data'`` axis and the
+    atlas image is replicated; GSPMD inserts the psum for the image gradient
+    and scalar losses over ICI.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        I0=None,
+        ms=None,
+        num_epochs=500,
+        batch_size=10,
+        lddmm_steps=1,
+        lddmm_integration_steps=5,
+        image_update_freq=0,
+        reg_weight=1e2,
+        learning_rate_pose=2e2,
+        learning_rate_image=1e4,
+        metric=None,
+        momentum_shape=None,
+        image_shape=None,
+        momentum_preconditioning=False,
+        checkpoint_format=None,
+        gradient_checkpointing=False,
+        loader_workers=0,
+        dataloader_cache=None,
+        device=None,
+        world_size=1,
+        rank=0,
+        mesh=None,
+        progress_bar=True,
+        dtype=np.float32,
+    ):
+        # record all constructor arguments as members (frozen after
+        # initialize(), like the reference's constructor-arg freezing,
+        # lddmm.py:133-150)
+        args = dict(locals())
+        self._initialized = False
+        self._initvars = []
+        for k, v in args.items():
+            if k != "self":
+                setattr(self, k, v)
+                self._initvars.append(k)
+
+    def __setattr__(self, k, v):
+        if (
+            k not in ("_initvars", "_initialized")
+            and getattr(self, "_initialized", False)
+            and k in getattr(self, "_initvars", ())
+        ):
+            raise Exception(
+                f"Member {k} was set in constructor and cannot be "
+                "overwritten after initialization"
+            )
+        self.__dict__[k] = v
+
+    # -- initialization ----------------------------------------------------
+    def initialize(self):
+        if not self._initialized:
+            self._init_batches()
+            self._init_atlas_image()
+            self._init_metric()
+            self._init_losses()
+            self._init_momenta()
+            self._init_step()
+            self._iteration = 0
+            self._epoch = 0
+            self._initialized = True
+
+    def _init_batches(self):
+        from .data import batch_iterator, dataset_length
+
+        self._num_examples = dataset_length(self.dataset)
+        self._batches = list(
+            batch_iterator(self.dataset, self.batch_size, dtype=self.dtype)
+        )
+
+    def _init_atlas_image(self):
+        from .data import batch_average
+
+        if self.I0 is None:
+            I0 = batch_average(self._batches, progress_bar=self.progress_bar)
+        else:
+            I0 = np.asarray(self.I0, dtype=self.dtype)
+        # shape to (1, 1, *spatial) like reference (lddmm.py:205)
+        I0 = np.asarray(I0, dtype=self.dtype).squeeze()
+        self.I = jnp.asarray(I0[None, None], dtype=self.dtype)
+        if self.image_shape is not None and tuple(self.I.shape[2:]) != tuple(
+            self.image_shape
+        ):
+            self.I = regrid(self.I, shape=tuple(self.image_shape))
+        self._image_grad_accum = jnp.zeros_like(self.I)
+        self._image_iters = 0
+
+    def _init_metric(self):
+        if self.metric is None:
+            self.metric = FluidMetric([0.1, 0.0, 0.01])
+
+    def _init_losses(self):
+        for k in ("epoch_losses", "epoch_reg_terms", "iter_losses", "iter_reg_terms"):
+            if k not in self.__dict__:
+                setattr(self, k, [])
+
+    def _init_momenta(self):
+        dim = len(self.I.shape) - 2
+        if self.momentum_shape is None:
+            self.momentum_shape = tuple(self.I.shape[2:])
+        self.momentum_shape = tuple(self.momentum_shape)
+        if self.ms is None:
+            self.ms = [
+                np.zeros((img.shape[0], dim) + self.momentum_shape, dtype=self.dtype)
+                for img in self._batches
+            ]
+        else:
+            self.ms = [np.asarray(m, dtype=self.dtype) for m in self.ms]
+
+    def _init_step(self):
+        step = make_lddmm_atlas_step(
+            self.metric,
+            reg_weight=self.reg_weight,
+            learning_rate_pose=self.learning_rate_pose,
+            lddmm_steps=self.lddmm_steps,
+            integration_steps=self.lddmm_integration_steps,
+            momentum_preconditioning=self.momentum_preconditioning,
+            checkpoints=self.gradient_checkpointing,
+            image_shape=tuple(self.I.shape[2:]),
+        )
+        if self.mesh is not None:
+            from .parallel import data_sharding, replicated_sharding
+
+            batch_s = data_sharding(self.mesh)
+            repl_s = replicated_sharding(self.mesh)
+            self._step = jax.jit(
+                step,
+                in_shardings=(repl_s, batch_s, batch_s),
+                out_shardings=(batch_s, repl_s, repl_s, repl_s),
+                donate_argnums=(1,),
+            )
+            self._put = lambda x: jax.device_put(np.asarray(x), batch_s)
+        else:
+            self._step = jax.jit(step, donate_argnums=(1,))
+            self._put = jnp.asarray
+
+        def image_update(I, g, n):
+            return I - self.learning_rate_image * (g / n)
+
+        self._image_update = jax.jit(image_update)
+
+    # -- persistence (HDF5, same schema as reference lddmm.py:238-285) -----
+    def save_momenta(self, handle):
+        n = sum(m.shape[0] for m in self.ms)
+        m0 = np.asarray(self.ms[0])
+        hms = handle.create_dataset(
+            "momenta", shape=(n, *m0.shape[1:]), dtype=np.float32
+        )
+        i = 0
+        batch_sizes = []
+        for m in self.ms:
+            m = np.asarray(m)
+            hms[i : i + m.shape[0], ...] = m.astype(np.float32)
+            i += m.shape[0]
+            batch_sizes.append(m.shape[0])
+        hms.attrs["batch_sizes"] = batch_sizes
+
+    def save(self, filename):
+        import h5py
+
+        with h5py.File(filename, "w") as f:
+            f.create_dataset("atlas", data=np.asarray(self.I))
+            self.save_momenta(f)
+            f.create_dataset("epoch_losses", data=np.asarray(self.epoch_losses))
+            f.create_dataset("epoch_reg_terms", data=np.asarray(self.epoch_reg_terms))
+            f.create_dataset("iter_losses", data=np.asarray(self.iter_losses))
+            f.create_dataset("iter_reg_terms", data=np.asarray(self.iter_reg_terms))
+
+    def load_momenta(self, handle):
+        self.ms = []
+        i = 0
+        szs = handle["momenta"].attrs["batch_sizes"]
+        for s in szs:
+            self.ms.append(np.asarray(handle["momenta"][i : i + s, ...]))
+            i += s
+
+    def load(self, filename, load_image=True, load_momenta=True, load_losses=True):
+        import h5py
+
+        with h5py.File(filename, "r") as f:
+            if load_image:
+                self.I0 = np.asarray(f["atlas"])
+            if load_momenta:
+                self.load_momenta(f)
+            if load_losses:
+                self.epoch_losses = list(f["epoch_losses"])
+                self.epoch_reg_terms = list(f["epoch_reg_terms"])
+                self.iter_losses = list(f["iter_losses"])
+                self.iter_reg_terms = list(f["iter_reg_terms"])
+
+    # -- training loop ------------------------------------------------------
+    def update_base_image(self, force=False):
+        if (
+            self._image_iters < self.image_update_freq and not force
+        ) or self._image_iters == 0:
+            return
+        self.I = self._image_update(
+            self.I, self._image_grad_accum, float(self._image_iters)
+        )
+        self._image_grad_accum = jnp.zeros_like(self.I)
+        self._image_iters = 0
+
+    def iteration(self, batch_index):
+        img = self._put(self._batches[batch_index])
+        m = self._put(self.ms[batch_index])
+        m, gI, loss, reg = self._step(self.I, m, img)
+        self.ms[batch_index] = np.asarray(m)
+        self._image_grad_accum = self._image_grad_accum + gI
+        self._image_iters += 1
+        if self.image_update_freq > 0:
+            self.update_base_image()
+        norm = img.shape[0] / self._num_examples
+        return float(loss) * norm, float(reg) * norm
+
+    def epoch(self):
+        epoch_loss = 0.0
+        epoch_reg_term = 0.0
+        it = range(len(self._batches))
+        if self.progress_bar:
+            it = tqdm(it, desc="iter")
+        for self._iteration, bi in enumerate(it):
+            iter_loss, iter_reg = self.iteration(bi)
+            self.iter_losses.append(iter_loss)
+            self.iter_reg_terms.append(iter_reg)
+            epoch_loss += iter_loss
+            epoch_reg_term += iter_reg
+        self.update_base_image(force=True)
+        if self.checkpoint_format is not None:
+            self.save(self.checkpoint_format.format(epoch=self._epoch))
+        return epoch_loss, epoch_reg_term
+
+    def run(self):
+        self.initialize()
+        epbar = range(self.num_epochs)
+        if self.progress_bar:
+            epbar = tqdm(epbar)
+        for self._epoch in epbar:
+            epoch_loss, epoch_reg_term = self.epoch()
+            self.epoch_losses.append(epoch_loss)
+            self.epoch_reg_terms.append(epoch_reg_term)
+            if self.progress_bar:
+                epbar.set_postfix(epoch_loss=epoch_loss, epoch_reg=epoch_reg_term)
+
+
+class _Tool(Tool):
+    """Diffeomorphic registration methods using LDDMM"""
+
+    module_name = "lagomorph_tpu lddmm"
+    subcommands = ["atlas"]
+
+    def atlas(self):
+        """
+        Build LDDMM atlas from HDF5 image dataset.
+
+        Writes an HDF5 file with datasets: atlas, momenta, epoch_losses,
+        epoch_reg_terms, iter_losses, iter_reg_terms; provenance attrs are
+        stamped on 'atlas'.
+        """
+        import sys
+
+        parser = self.new_parser("atlas")
+        dg = parser.add_argument_group("data parameters")
+        dg.add_argument("input", type=str, help="Path to input image HDF5 file")
+        dg.add_argument(
+            "--force_dim",
+            default=None,
+            type=int,
+            help="Force dimension of images instead of determining based on dataset shape",
+        )
+        dg.add_argument(
+            "--h5key", "-k", default="images", help="Name of dataset in input HDF5 file"
+        )
+        dg.add_argument("output", type=str, help="Path to output HDF5 file")
+        dg.add_argument(
+            "--checkpoint",
+            default=None,
+            type=str,
+            help="Format for HDF5 checkpoints, with {epoch} placeholder",
+        )
+        ag = parser.add_argument_group("algorithm parameters")
+        ag.add_argument(
+            "--initial_atlas",
+            default=None,
+            type=str,
+            help="Path to h5 file with which to initialize image and momenta",
+        )
+        ag.add_argument("--num_epochs", default=1000, type=int, help="Number of epochs")
+        ag.add_argument("--batch_size", default=50, type=int, help="Batch size")
+        ag.add_argument(
+            "--precondition_momentum",
+            action="store_true",
+            help="Precondition momentum gradients with the metric operator",
+        )
+        ag.add_argument(
+            "--image_update_freq",
+            default=0,
+            type=int,
+            help="Update base image every N iterations. 0 for once per epoch",
+        )
+        ag.add_argument(
+            "--lddmm_steps", default=1, type=int, help="LDDMM steps per iteration"
+        )
+        ag.add_argument(
+            "--lddmm_integration_steps",
+            default=5,
+            type=int,
+            help="Euler integration steps for geodesic shooting",
+        )
+        ag.add_argument(
+            "--deformation_downscale",
+            default=1,
+            type=int,
+            help="Downscale factor for the momenta/deformation grid",
+        )
+        ag.add_argument(
+            "--image_upscale",
+            default=1,
+            type=int,
+            help="Upscale factor for the atlas image grid",
+        )
+        ag.add_argument(
+            "--gradient_checkpointing",
+            action="store_true",
+            help="Rematerialize the shooting loop in the backward pass",
+        )
+        ag.add_argument(
+            "--reg_weight", default=1e-1, type=float, help="Deformation regularization"
+        )
+        ag.add_argument(
+            "--learning_rate_m", default=1e-3, type=float, help="Momenta learning rate"
+        )
+        ag.add_argument(
+            "--learning_rate_I", default=1e5, type=float, help="Atlas learning rate"
+        )
+        mg = parser.add_argument_group("metric parameters")
+        Metric.add_args(mg)
+        self._compute_args(parser)
+        args = parser.parse_args(sys.argv[2:])
+        self._initialize_compute(args)
+
+        from .data import H5Dataset
+
+        dataset = H5Dataset(args.input, key=args.h5key, force_dim=args.force_dim)
+
+        im0 = dataset[0]
+        momentum_shape = None
+        image_shape = None
+        if args.deformation_downscale != 1:
+            momentum_shape = [s // args.deformation_downscale for s in im0.shape[1:]]
+        if args.image_upscale != 1:
+            image_shape = [s * args.image_upscale for s in im0.shape[1:]]
+        del im0
+
+        metric = Metric.from_args(args)
+
+        builder = LDDMMAtlasBuilder(
+            dataset,
+            num_epochs=args.num_epochs,
+            batch_size=args.batch_size,
+            lddmm_steps=args.lddmm_steps,
+            lddmm_integration_steps=args.lddmm_integration_steps,
+            image_update_freq=args.image_update_freq,
+            momentum_shape=momentum_shape,
+            image_shape=image_shape,
+            reg_weight=args.reg_weight,
+            momentum_preconditioning=args.precondition_momentum,
+            checkpoint_format=args.checkpoint,
+            gradient_checkpointing=args.gradient_checkpointing,
+            metric=metric,
+            learning_rate_pose=args.learning_rate_m,
+            learning_rate_image=args.learning_rate_I,
+            mesh=self.mesh,
+            progress_bar=self.rank == 0,
+        )
+
+        if args.initial_atlas is not None:
+            builder.load(args.initial_atlas.format(rank=self.rank))
+
+        builder.run()
+
+        args.output = args.output.format(rank=self.rank)
+        builder.save(args.output)
+
+        import h5py
+
+        with h5py.File(args.output, "a") as f:
+            self._stamp_dataset(f["atlas"], args)

@@ -1,0 +1,98 @@
+"""Free-form deformation interpolation ops.
+
+TPU-native equivalents of the reference's ``interp`` CUDA kernels
+(reference: lagomorph/extension/cuda/interp.cu:15-313): sample an image (or
+vector field) ``I`` through a displacement field ``u``:
+
+    out_{n,c}(x) = I_{n,c}(x + dt * u_n(x))
+
+with CLAMP boundary and broadcasting of a size-1 image batch over a larger
+displacement batch.  Gradients come from JAX autodiff of the exact forward
+discretization; the resulting VJPs are mathematically identical to the
+reference's hand-written backward kernels (atomic splat for d_I, analytic
+lerp gradient x dt for d_u — interp.cu:132-313).
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+
+from .sampling import identity_grid, sample_linear, splat_linear
+
+
+def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
+    """Deform image/vector field ``I`` by displacement ``u``.
+
+    Args:
+      I: ``(NI, C, *spatial)``; ``NI in {1, N}`` (1 broadcasts over batch).
+      u: ``(N, dim, *spatial)`` displacement field in voxel units.
+      dt: time-step scaling applied to ``u``.
+
+    Returns:
+      ``(N, C, *spatial)`` with ``out(x) = I(x + dt*u(x))``.
+    """
+    dim = u.shape[1]
+    spatial = u.shape[2:]
+    grid = identity_grid(spatial, dtype=u.dtype)
+    coords = grid[None] + dt * u
+    return sample_linear(I, coords)
+
+
+def splat(values: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
+    """Adjoint of :func:`interp` in the image slot: scatter ``values``
+    through the displacement field.  (The reference exposes this only as the
+    backward of interp — interp.cu:162-178; having it public enables e.g.
+    the ``Ad`` big adjoint action.)"""
+    spatial = u.shape[2:]
+    grid = identity_grid(spatial, dtype=u.dtype)
+    coords = grid[None] + dt * u
+    return splat_linear(values, coords, spatial)
+
+
+def interp_hessian_diagonal_image(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
+    """Diagonal of the Hessian w.r.t. ``I`` of a sum-of-squares loss through
+    ``interp``: for each output point, the squared interpolation weights are
+    scatter-added at its (clamped) corner voxels.
+
+    Reference: interp.cu:315-381 / interp.h:459-544.  The reference kernel is
+    2D-only and accumulates every batch/channel into the first image's buffer
+    (interp.cu:342 writes through the base pointer — a known defect noted in
+    SURVEY.md §2.1); here the op is dimension-generic and returns the
+    correctly batched result ``(N, C, *spatial)``.
+    """
+    dim = u.shape[1]
+    spatial = u.shape[2:]
+    N = u.shape[0]
+    C = I.shape[1]
+    grid = identity_grid(spatial, dtype=u.dtype)
+    coords = grid[None] + dt * u  # (N, dim, *spatial)
+
+    # splat w^2 per corner: like splat_linear but with squared weights.
+    floor = jnp.floor(coords)
+    frac = coords - floor
+    floor = floor.astype(jnp.int32)
+
+    strides = []
+    s = 1
+    for n in reversed(spatial):
+        strides.append(s)
+        s *= n
+    strides = strides[::-1]
+    nvox = s
+
+    out = jnp.zeros((N, nvox), dtype=I.dtype)
+    for corner in itertools.product((0, 1), repeat=dim):
+        lin = jnp.zeros((N,) + tuple(spatial), dtype=jnp.int32)
+        w = None
+        for d in range(dim):
+            idx = jnp.clip(floor[:, d] + corner[d], 0, spatial[d] - 1)
+            lin = lin + idx * strides[d]
+            wd = frac[:, d] if corner[d] else 1.0 - frac[:, d]
+            w = wd if w is None else w * wd
+        w2 = (w * w).reshape(N, -1)
+        # per-batch scatter: offset linear indices by batch
+        batch_off = (jnp.arange(N, dtype=jnp.int32) * nvox)[:, None]
+        out = out.reshape(-1).at[(lin.reshape(N, -1) + batch_off).reshape(-1)].add(w2.reshape(-1)).reshape(N, nvox)
+    H = out.reshape((N, 1) + tuple(spatial))
+    return jnp.broadcast_to(H, (N, C) + tuple(spatial)).astype(I.dtype)

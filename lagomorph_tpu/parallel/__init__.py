@@ -1,0 +1,26 @@
+"""Device-mesh parallelism utilities.
+
+The reference's only parallelism strategy is data parallelism over subjects
+via MPI+NCCL all_reduce (SURVEY.md §2.3).  Here the equivalent is a global
+:class:`jax.sharding.Mesh` with a ``'data'`` axis: batches are sharded over
+it, the atlas image is replicated, and GSPMD inserts all collectives (psum
+over ICI) inside the jitted update steps.  The mesh is created with room for
+further axes (spatial sharding) without API changes.
+"""
+from .mesh import (
+    get_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    pad_batch_to_multiple,
+)
+
+__all__ = [
+    "get_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "pad_batch_to_multiple",
+]

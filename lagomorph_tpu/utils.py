@@ -1,0 +1,162 @@
+"""CLI tooling, progress bars, and distributed bootstrap.
+
+API mirror of the reference's lagomorph/utils.py.  The reference bootstraps
+with mpi4py + NCCL (utils.py:33-76,148-166); on TPU the JAX runtime handles
+process bootstrap: ``jax.distributed.initialize()`` for multi-host, and a
+single global :class:`jax.sharding.Mesh` replaces the NCCL process group.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# notebook-aware tqdm (reference utils.py:5-30)
+IN_IPYNB = None
+
+
+def in_ipynb():
+    global IN_IPYNB
+    if IN_IPYNB is not None:
+        return IN_IPYNB
+    try:
+        cfg = get_ipython().config  # noqa: F821
+        if type(get_ipython()).__module__.startswith("ipykernel."):  # noqa: F821
+            IN_IPYNB = True
+            return True
+        return False
+    except NameError:
+        return False
+
+
+if in_ipynb():
+    from tqdm import tqdm_notebook as tqdm  # pragma: no cover
+else:
+    from tqdm import tqdm  # noqa: F401
+
+
+def process_count():
+    """Number of JAX processes (hosts) in this job."""
+    import jax
+
+    return jax.process_count()
+
+
+def process_index():
+    """This host's process index (rank 0 does IO/progress)."""
+    import jax
+
+    return jax.process_index()
+
+
+def local_device_count():
+    import jax
+
+    return jax.local_device_count()
+
+
+class Tool:
+    """Two-level argparse CLI dispatcher (reference utils.py:79-119)."""
+
+    module_name = None
+    subcommands = []
+
+    def __init__(self):
+        usage = (
+            f"python -m {self.module_name} <command> [<args>]"
+            + "\n\nAvailable subcommands:\n\n"
+        )
+        for c in self.subcommands:
+            usage += f"{c:15s} {self.describe_subcommand(c)}\n"
+        usage += "\n"
+        self.parser = self.new_parser(usage=usage)
+        self.parser.add_argument("command", help="Subcommand to run")
+
+    def run(self, argv=None):
+        if argv is None:
+            argv = sys.argv
+        args = self.parser.parse_args(argv[1:2])
+        if args.command not in self.subcommands:
+            print("ERROR: Unrecognized command")
+            self.parser.print_help()
+            sys.exit(1)
+        self.call_subcommand(args.command)
+
+    def describe_subcommand(self, sub):
+        return getattr(self, sub).__doc__
+
+    def new_parser(self, subcmd=None, **kwargs):
+        prog = "python -m " + self.module_name
+        if subcmd is not None:
+            prog += " " + subcmd
+        return argparse.ArgumentParser(
+            prog=prog, formatter_class=argparse.ArgumentDefaultsHelpFormatter, **kwargs
+        )
+
+    def call_subcommand(self, command):
+        getattr(self, command)()
+
+    @staticmethod
+    def _compute_args(parser):
+        """Add common arguments for parallel commands (reference
+        utils.py:121-130 exposed --gpu; here we expose the JAX platform and
+        multi-host coordination parameters)."""
+        group = parser.add_argument_group("compute parameters")
+        group.add_argument(
+            "--platform",
+            default=None,
+            type=str,
+            help="JAX platform to use (e.g. tpu, cpu). Default: JAX default.",
+        )
+        group.add_argument(
+            "--coordinator_address",
+            default=None,
+            type=str,
+            help="host:port of process 0, for multi-host jax.distributed",
+        )
+        group.add_argument(
+            "--num_processes",
+            default=None,
+            type=int,
+            help="Total number of processes, for multi-host jax.distributed",
+        )
+        group.add_argument(
+            "--process_id",
+            default=None,
+            type=int,
+            help="This process's id, for multi-host jax.distributed",
+        )
+
+    def _initialize_compute(self, args):
+        """Initialize the JAX runtime and build the global data-parallel mesh
+        (TPU-native replacement for torch.cuda.set_device + NCCL
+        init_process_group, reference utils.py:132-166)."""
+        import jax
+
+        if getattr(args, "platform", None):
+            jax.config.update("jax_platforms", args.platform)
+        if getattr(args, "coordinator_address", None):
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()
+
+        self.rank = jax.process_index()
+        self.world_size = jax.process_count()
+        from .parallel import get_mesh
+
+        self.mesh = get_mesh() if jax.device_count() > 1 else None
+
+    def _stamp_dataset(self, ds, args):
+        """Stamp provenance attrs on an output HDF5 dataset (reference
+        utils.py:168-173)."""
+        from .version import __version__
+        import json
+
+        ds.attrs["lagomorph_version"] = __version__
+        ds.attrs["command_args"] = json.dumps(
+            {k: v for k, v in vars(args).items() if not k.startswith("_")}
+        )
