@@ -85,7 +85,9 @@ def fluid_multiplier(spatial: tuple, params: tuple, inverse: bool, dtype=np.floa
     L = np.einsum("ab...,bc...->ac...", l, l)
 
     if not inverse:
-        return jnp.asarray(L.astype(dtype))
+        # cache pure numpy: a device array created inside a jit trace would
+        # be a tracer and leak through the lru_cache into later traces
+        return L.astype(dtype)
 
     # Floored-Cholesky inverse, matching metric.cu:20-130 exactly.
     if d == 2:
@@ -129,7 +131,7 @@ def fluid_multiplier(spatial: tuple, params: tuple, inverse: bool, dtype=np.floa
         M = np.stack([np.stack([cols[j][i] for j in range(3)]) for i in range(3)])
     else:
         raise ValueError("Only 2D and 3D fluid operators are supported")
-    return jnp.asarray(M.astype(dtype))
+    return M.astype(dtype)
 
 
 def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
@@ -147,5 +149,5 @@ def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     M = fluid_multiplier(spatial, tuple(float(p) for p in params), bool(inverse), np_dtype)
     axes = tuple(range(2, 2 + dim))
     F = jnp.fft.rfftn(mv, axes=axes, norm="ortho")
-    F = jnp.einsum("ab...,nb...->na...", M.astype(F.real.dtype), F)
+    F = jnp.einsum("ab...,nb...->na...", jnp.asarray(M, dtype=F.real.dtype), F)
     return jnp.fft.irfftn(F, s=spatial, axes=axes, norm="ortho").astype(mv.dtype)

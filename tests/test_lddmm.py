@@ -62,11 +62,15 @@ def test_expmap_advect_close_to_integrated(rng):
     first order."""
     dim = 2
     defsh = (1, dim) + (16,) * dim
-    m = jnp.asarray(rng.standard_normal(defsh) * 1e-3)
+    # note: sharp has gain ~1/gamma^2 = 1e4, so momenta must be tiny for the
+    # resulting displacement to be in the linear regime
+    m = jnp.asarray(rng.standard_normal(defsh) * 1e-7)
     metric = lm.FluidMetric([0.1, 0.0, 0.01])
     h1 = lm.expmap(metric, m, num_steps=10)
     h2 = lm.expmap_advect(metric, m, num_steps=10)
-    assert np.allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    scale = float(jnp.abs(h1).max())
+    assert scale > 0
+    assert float(jnp.abs(h1 - h2).max()) < 0.01 * scale
 
 
 def test_expmap_jit_and_vmap(rng):
