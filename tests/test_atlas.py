@@ -1,0 +1,184 @@
+"""End-to-end atlas building tests on synthetic data, single-device and
+data-parallel over the virtual 8-device CPU mesh.  The reference has no
+atlas or distributed tests at all (SURVEY.md §4); these close that gap."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lagomorph_tpu as lm
+from lagomorph_tpu.data import batch_iterator
+
+
+def make_synth_images(rng, n=8, res=16, dim=2, shift_scale=1.5):
+    """Blobs with random offsets: a dataset whose atlas is a centered blob."""
+    grid = np.stack(
+        np.meshgrid(*[np.arange(res, dtype=np.float64)] * dim, indexing="ij")
+    )
+    c = (res - 1) / 2.0
+    imgs = []
+    for i in range(n):
+        off = rng.uniform(-shift_scale, shift_scale, dim)
+        r2 = sum((grid[d] - c - off[d]) ** 2 for d in range(dim))
+        imgs.append(np.exp(-r2 / (2 * (res / 6) ** 2)))
+    return np.stack(imgs)[:, None].astype(np.float32)  # (n, 1, *sp)
+
+
+def test_affine_atlas_reduces_loss(rng):
+    imgs = make_synth_images(rng, n=8, res=16)
+    n = imgs.shape[0]
+    As = np.zeros((n, 2, 2), dtype=np.float32)
+    Ts = np.zeros((n, 2), dtype=np.float32)
+    I, As, Ts, epoch_losses, iter_losses = lm.affine_atlas(
+        list(imgs),
+        As,
+        Ts,
+        num_epochs=5,
+        batch_size=4,
+        learning_rate_A=1e-4,
+        learning_rate_T=1e-2,
+        learning_rate_I=1e2,
+        progress_bar=False,
+    )
+    assert epoch_losses[-1] < epoch_losses[0]
+    assert np.isfinite(np.asarray(I)).all()
+    assert np.abs(Ts).max() > 0  # translations actually moved
+
+
+def test_affine_atlas_mesh_matches_single(rng):
+    """Data-parallel mesh run must match the single-device run exactly
+    (deterministic arithmetic, same global batches)."""
+    from lagomorph_tpu.parallel import get_mesh
+
+    imgs = make_synth_images(rng, n=8, res=12)
+    n = imgs.shape[0]
+
+    def run(mesh):
+        As = np.zeros((n, 2, 2), dtype=np.float32)
+        Ts = np.zeros((n, 2), dtype=np.float32)
+        return lm.affine_atlas(
+            list(imgs),
+            As,
+            Ts,
+            num_epochs=2,
+            batch_size=8,
+            learning_rate_A=1e-4,
+            learning_rate_T=1e-2,
+            learning_rate_I=1e2,
+            mesh=mesh,
+            progress_bar=False,
+        )
+
+    I0, As0, Ts0, el0, _ = run(None)
+    mesh = get_mesh()
+    I1, As1, Ts1, el1, _ = run(mesh)
+    assert np.allclose(np.asarray(I0), np.asarray(I1), atol=1e-5)
+    assert np.allclose(As0, As1, atol=1e-6)
+    assert np.allclose(Ts0, Ts1, atol=1e-6)
+    assert np.allclose(el0, el1, rtol=1e-4)
+
+
+def test_lddmm_atlas_builder(rng, tmp_path):
+    imgs = make_synth_images(rng, n=4, res=12)
+    builder = lm.LDDMMAtlasBuilder(
+        list(imgs),
+        num_epochs=2,
+        batch_size=2,
+        lddmm_integration_steps=3,
+        reg_weight=1e-1,
+        learning_rate_pose=1e-4,
+        learning_rate_image=1e2,
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        progress_bar=False,
+    )
+    builder.run()
+    assert builder.epoch_losses[-1] < builder.epoch_losses[0]
+    # checkpoint round trip (schema matches reference lddmm.py:238-285)
+    fn = str(tmp_path / "atlas.h5")
+    builder.save(fn)
+    import h5py
+
+    with h5py.File(fn, "r") as f:
+        assert set(f.keys()) == {
+            "atlas",
+            "momenta",
+            "epoch_losses",
+            "epoch_reg_terms",
+            "iter_losses",
+            "iter_reg_terms",
+        }
+        assert f["momenta"].shape[0] == 4
+
+    b2 = lm.LDDMMAtlasBuilder(
+        list(imgs),
+        num_epochs=1,
+        batch_size=2,
+        lddmm_integration_steps=3,
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        progress_bar=False,
+    )
+    b2.load(fn)
+    b2.initialize()
+    assert np.allclose(np.asarray(b2.I).squeeze(), np.asarray(builder.I).squeeze())
+    assert np.allclose(b2.ms[0], builder.ms[0])
+
+
+def test_lddmm_atlas_mesh_matches_single(rng):
+    from lagomorph_tpu.parallel import get_mesh
+
+    imgs = make_synth_images(rng, n=8, res=12)
+
+    def run(mesh):
+        builder = lm.LDDMMAtlasBuilder(
+            list(imgs),
+            num_epochs=2,
+            batch_size=8,
+            lddmm_integration_steps=3,
+            reg_weight=1e-1,
+            learning_rate_pose=1e-4,
+            learning_rate_image=1e2,
+            metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+            mesh=mesh,
+            progress_bar=False,
+        )
+        builder.run()
+        return builder
+
+    b0 = run(None)
+    b1 = run(get_mesh())
+    assert np.allclose(np.asarray(b0.I), np.asarray(b1.I), atol=1e-5)
+    assert np.allclose(b0.ms[0], b1.ms[0], atol=1e-5)
+    assert np.allclose(b0.epoch_losses, b1.epoch_losses, rtol=1e-4)
+
+
+def test_lddmm_atlas_momentum_downscale(rng):
+    """Multiscale path: momenta on a coarser grid than the image
+    (reference --deformation_downscale, lddmm.py:459-464,501-509)."""
+    imgs = make_synth_images(rng, n=2, res=16)
+    builder = lm.LDDMMAtlasBuilder(
+        list(imgs),
+        num_epochs=1,
+        batch_size=2,
+        lddmm_integration_steps=2,
+        momentum_shape=(8, 8),
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        progress_bar=False,
+    )
+    builder.run()
+    assert builder.ms[0].shape == (2, 2, 8, 8)
+    assert np.isfinite(builder.ms[0]).all()
+
+
+def test_lddmm_atlas_momentum_preconditioning(rng):
+    imgs = make_synth_images(rng, n=2, res=8)
+    builder = lm.LDDMMAtlasBuilder(
+        list(imgs),
+        num_epochs=1,
+        batch_size=2,
+        lddmm_integration_steps=2,
+        momentum_preconditioning=True,
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        progress_bar=False,
+    )
+    builder.run()
+    assert np.isfinite(builder.ms[0]).all()
