@@ -1,0 +1,95 @@
+"""Headline benchmark: 3D LDDMM shooting-and-update steps/sec/chip at 128^3.
+
+One full step = geodesic shooting (5 Euler EPDiff integration steps:
+interp + jacobian-times-vectorfield + FFT fluid sharp + compose), atlas
+warp, MSE + regularity loss, reverse-mode gradients for momenta and atlas,
+and the momenta SGD update — i.e. the hot loop of `lagomorph lddmm atlas`
+(reference lddmm.py:300-325).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is null.
+
+The timing loop runs entirely on device (lax.scan over steps inside one jit
+dispatch) so host<->device round-trips don't pollute the measurement.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench(res=128, batch=4, integration_steps=5, iters=10, warmup=2):
+    import jax
+    import jax.numpy as jnp
+    import lagomorph_tpu as lm
+    from lagomorph_tpu.lddmm import make_lddmm_atlas_step
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    step = make_lddmm_atlas_step(
+        metric,
+        reg_weight=0.1,
+        learning_rate_pose=1e-6,
+        lddmm_steps=1,
+        integration_steps=integration_steps,
+        checkpoints=False,
+    )
+
+    rng = np.random.default_rng(0)
+    I = jnp.asarray(rng.standard_normal((1, 1, res, res, res)), dtype=jnp.float32)
+    m = jnp.asarray(
+        rng.standard_normal((batch, 3, res, res, res)) * 1e-3, dtype=jnp.float32
+    )
+    img = jnp.asarray(
+        rng.standard_normal((batch, 1, res, res, res)), dtype=jnp.float32
+    )
+
+    def many_steps(I, m, img, n):
+        def body(carry, _):
+            m, gI_acc = carry
+            m, gI, loss, reg = step(I, m, img)
+            return (m, gI_acc + gI), loss
+
+        (m, gI), losses = jax.lax.scan(body, (m, jnp.zeros_like(I)), None, length=n)
+        return m, gI, losses
+
+    from functools import partial
+
+    run = jax.jit(partial(many_steps, n=iters), donate_argnums=(1,))
+    run_warm = jax.jit(partial(many_steps, n=warmup), donate_argnums=(1,))
+
+    # warmup / compile
+    m_w, gI, losses = run_warm(I, m, img)
+    jax.block_until_ready((m_w, gI, losses))
+
+    t0 = time.perf_counter()
+    m_out, gI, losses = run(I, m_w, img)
+    jax.block_until_ready((m_out, gI, losses))
+    t1 = time.perf_counter()
+
+    steps_per_sec = iters / (t1 - t0)
+    return steps_per_sec, batch
+
+
+def main():
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    try:
+        sps, batch = bench(res=res, batch=batch)
+    except Exception as e:  # OOM fallback to smaller batch
+        sys.stderr.write(f"bench failed at batch={batch}: {e}\nretrying batch=1\n")
+        sps, batch = bench(res=res, batch=1)
+    print(
+        json.dumps(
+            {
+                "metric": f"3d_lddmm_atlas_steps_per_sec_chip_{res}cubed_b{batch}",
+                "value": round(sps, 4),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Model-family tests: pairwise registration and DeepLDDMMAtlas."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import lagomorph_tpu as lm
+from lagomorph_tpu.models import (
+    affine_register,
+    rigid_register,
+    lddmm_register,
+    DeepLDDMMAtlas,
+)
+from tests.test_atlas import make_synth_images
+
+
+def _blob(res, center, width):
+    g = np.stack(np.meshgrid(*[np.arange(res, dtype=np.float64)] * 2, indexing="ij"))
+    r2 = sum((g[d] - center[d]) ** 2 for d in range(2))
+    return np.exp(-r2 / (2 * width**2)).astype(np.float32)
+
+
+def test_affine_register_recovers_translation():
+    res = 16
+    c = (res - 1) / 2
+    src = _blob(res, (c, c), res / 6)[None, None]
+    tgt = _blob(res, (c + 1.5, c - 1.0), res / 6)[None, None]
+    A, T, losses = affine_register(
+        jnp.asarray(src), jnp.asarray(tgt), num_iters=300,
+        learning_rate_A=0.0, learning_rate_T=50.0,
+    )
+    assert float(losses[-1]) < float(losses[0]) * 0.2
+    # out(x) = I(A(x-o)+T+o): to match a target shifted by +d, T ≈ -d
+    assert np.allclose(np.asarray(T)[0], [-1.5, 1.0], atol=0.3), np.asarray(T)
+
+
+def test_rigid_register_runs():
+    res = 16
+    c = (res - 1) / 2
+    src = _blob(res, (c - 2, c), res / 8)[None, None]
+    tgt = src.copy()
+    v, T, losses = rigid_register(
+        jnp.asarray(src), jnp.asarray(tgt), num_iters=50
+    )
+    assert float(losses[-1]) <= float(losses[0]) + 1e-8
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_lddmm_register_reduces_loss():
+    res = 16
+    c = (res - 1) / 2
+    src = _blob(res, (c, c), res / 5)[None, None]
+    tgt = _blob(res, (c + 1.0, c), res / 5)[None, None]
+    metric = lm.FluidMetric([0.01, 0.0, 0.1])
+    m, phiinv, losses = lddmm_register(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        metric,
+        num_iters=50,
+        learning_rate=2e-1,
+        reg_weight=1e-3,
+        integration_steps=3,
+    )
+    assert float(losses[-1]) < float(losses[0]) * 0.7
+    assert phiinv.shape == (1, 2, res, res)
+
+
+def test_deep_lddmm_atlas_trains(rng):
+    imgs = make_synth_images(rng, n=6, res=12)
+    model = DeepLDDMMAtlas(
+        list(imgs),
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        batch_size=3,
+        integration_steps=2,
+        reg_weight=1e-2,
+        learning_rate_net=1e-3,
+        learning_rate_image=10.0,
+        progress_bar=False,
+    )
+    model.fit(num_epochs=3)
+    assert len(model.epoch_losses) == 3
+    assert model.epoch_losses[-1] < model.epoch_losses[0]
+    m = model.predict_momenta(imgs[:2])
+    assert m.shape == (2, 2, 12, 12)
+    Idef = model.deform_atlas(imgs[:2])
+    assert Idef.shape == (2, 1, 12, 12)
