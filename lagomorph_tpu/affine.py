@@ -150,30 +150,32 @@ def make_affine_atlas_step(
     the last step."""
     eye = np.eye(spatial_dim, dtype=np.float64)
 
-    def loss_fn(A, T, I, img):
+    def loss_fn(A, T, I, img, mask):
         Idef = affine_interp(I, A + jnp.asarray(eye, dtype=A.dtype), T)
         numel = 1.0
         for s in I.shape[2:]:
             numel *= s
-        loss = jnp.sum((Idef - img) ** 2) / numel
-        if reg_weightA > 0:
-            loss = loss + 0.5 * reg_weightA * jnp.sum(A * A)
-        if reg_weightT > 0:
-            loss = loss + 0.5 * reg_weightT * jnp.sum(T * T)
-        return loss / img.shape[0]
+        axes = tuple(range(1, img.ndim))
+        sq = jnp.sum((Idef - img) ** 2, axis=axes) / numel  # per subject
+        regA = 0.5 * reg_weightA * jnp.sum(A * A, axis=(1, 2)) if reg_weightA > 0 else 0.0
+        regT = 0.5 * reg_weightT * jnp.sum(T * T, axis=1) if reg_weightT > 0 else 0.0
+        per = sq + regA + regT
+        if mask is None:
+            return jnp.sum(per) / img.shape[0]
+        return jnp.sum(per * mask) / jnp.sum(mask)
 
-    def step(I, A, T, img):
+    def step(I, A, T, img, mask=None):
         loss = None
         gI = None
         for it in range(affine_steps):
             last = it == affine_steps - 1
             if last:
                 loss, (gA, gT, gI) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-                    A, T, I, img
+                    A, T, I, img, mask
                 )
             else:
                 loss, (gA, gT) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                    A, T, I, img
+                    A, T, I, img, mask
                 )
             A = A - learning_rate_A * gA
             T = T - learning_rate_T * gT
@@ -243,12 +245,14 @@ def affine_atlas(
         rs_ = replicated_sharding(mesh)
         step = jax.jit(
             step,
-            in_shardings=(rs_, bs_, bs_, bs_),
+            in_shardings=(rs_, bs_, bs_, bs_, bs_),
             out_shardings=(bs_, bs_, rs_, rs_),
             donate_argnums=(1, 2),
         )
+        pad_multiple = int(mesh.devices.size)
     else:
         step = jax.jit(step, donate_argnums=(1, 2))
+        pad_multiple = 1
 
     def image_update(I, g, n):
         return I - learning_rate_I * (g / n)
@@ -268,15 +272,26 @@ def affine_atlas(
         if progress_bar:
             itbar = tqdm(batches, desc="iter", leave=False)
         for ix, img in itbar:
-            A = jnp.asarray(As[ix])
-            T = jnp.asarray(Ts[ix])
-            img = jnp.asarray(img)
-            A, T, gI, loss = step(I, A, T, img)
-            As[ix] = np.asarray(A)
-            Ts[ix] = np.asarray(T)
+            from .parallel import pad_batch_to_multiple
+
+            n_real = img.shape[0]
+            img_np, _ = pad_batch_to_multiple(np.asarray(img), pad_multiple)
+            A_np, _ = pad_batch_to_multiple(As[ix], pad_multiple)
+            T_np, _ = pad_batch_to_multiple(Ts[ix], pad_multiple)
+            mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+            mask[:n_real] = 1.0
+            A, T, gI, loss = step(
+                I,
+                jnp.asarray(A_np),
+                jnp.asarray(T_np),
+                jnp.asarray(img_np),
+                jnp.asarray(mask),
+            )
+            As[ix] = np.asarray(A)[:n_real]
+            Ts[ix] = np.asarray(T)[:n_real]
             Igrad = Igrad + gI
             image_iters += 1
-            li = float(loss) * (img.shape[0] / n_total)
+            li = float(loss) * (n_real / n_total)
             iter_losses.append(li)
             epoch_loss += li
             if image_update_freq > 0 and image_iters >= image_update_freq:

@@ -115,11 +115,15 @@ def expmap_advect(metric, m, T=1.0, num_steps=10, phiinv=None):
 
 
 def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
-                image_shape=None):
+                image_shape=None, mask=None):
     """Loss for one minibatch: MSE(I ∘ phi^{-1}(m), img)/|Ω| + reg.
 
     Matches reference lddmm_step (lddmm.py:300-325), including the regrid
-    path when momenta live on a coarser grid than the image."""
+    path when momenta live on a coarser grid than the image.
+
+    ``mask``: optional (B,) 0/1 weights for padded subjects (used when the
+    batch is padded up to a mesh-divisible size); with mask all-ones this is
+    exactly the reference loss."""
     h = expmap(metric, m, num_steps=integration_steps, checkpoints=checkpoints)
     regrid_momenta = image_shape is not None and tuple(h.shape[2:]) != tuple(image_shape)
     if regrid_momenta:
@@ -129,12 +133,21 @@ def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
         h = regrid(h, shape=tuple(image_shape))
     Idef = deform.interp(I, h)
     v = metric.sharp(m)
-    numel = img.size
-    reg_term = reg_weight * jnp.sum(v * m) / numel
+    axes = tuple(range(1, img.ndim))
+    sq = jnp.sum((Idef - img) ** 2, axis=axes)  # per-subject
+    vm = jnp.sum(v * m, axis=tuple(range(1, m.ndim)))
+    if mask is None:
+        count = img.shape[0]
+    else:
+        sq = sq * mask
+        vm = vm * mask
+        count = jnp.sum(mask)
+    numel = count * float(np.prod(img.shape[1:]))
+    reg_term = reg_weight * jnp.sum(vm) / numel
     if regrid_momenta:
         # account for coarser averaging grid (reference lddmm.py:311-312)
         reg_term = reg_term * (I.size / v[0, 0].size)
-    loss = jnp.sum((Idef - img) ** 2) / numel + reg_term
+    loss = jnp.sum(sq) / numel + reg_term
     return loss, reg_term
 
 
@@ -157,13 +170,13 @@ def make_lddmm_atlas_step(
     shardings/donation.
     """
 
-    def loss_fn(m, I, img):
+    def loss_fn(m, I, img, mask):
         return _lddmm_loss(
             I, m, img, metric, reg_weight, integration_steps, checkpoints,
-            image_shape=image_shape,
+            image_shape=image_shape, mask=mask,
         )
 
-    def step(I, m, img):
+    def step(I, m, img, mask=None):
         loss = reg = None
         gI = None
         for lit in range(lddmm_steps):
@@ -171,10 +184,10 @@ def make_lddmm_atlas_step(
             if last:
                 (loss, reg), (gm, gI) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
-                )(m, I, img)
+                )(m, I, img, mask)
             else:
                 (loss, reg), gm = jax.value_and_grad(loss_fn, has_aux=True)(
-                    m, I, img
+                    m, I, img, mask
                 )
             p = metric.flat(gm) if momentum_preconditioning else gm
             m = m - learning_rate_pose * p
@@ -384,14 +397,16 @@ class LDDMMAtlasBuilder:
             repl_s = replicated_sharding(self.mesh)
             self._step = jax.jit(
                 step,
-                in_shardings=(repl_s, batch_s, batch_s),
+                in_shardings=(repl_s, batch_s, batch_s, batch_s),
                 out_shardings=(batch_s, repl_s, repl_s, repl_s),
                 donate_argnums=(1,),
             )
             self._put = lambda x: jax.device_put(np.asarray(x), batch_s)
+            self._pad_multiple = int(self.mesh.devices.size)
         else:
             self._step = jax.jit(step, donate_argnums=(1,))
             self._put = jnp.asarray
+            self._pad_multiple = 1
 
         def image_update(I, g, n):
             return I - self.learning_rate_image * (g / n)
@@ -460,15 +475,24 @@ class LDDMMAtlasBuilder:
         self._image_iters = 0
 
     def iteration(self, batch_index):
-        img = self._put(self._batches[batch_index])
-        m = self._put(self.ms[batch_index])
-        m, gI, loss, reg = self._step(self.I, m, img)
-        self.ms[batch_index] = np.asarray(m)
+        from .parallel import pad_batch_to_multiple
+
+        img_np = np.asarray(self._batches[batch_index])
+        m_np = np.asarray(self.ms[batch_index])
+        n_real = img_np.shape[0]
+        img_np, _ = pad_batch_to_multiple(img_np, self._pad_multiple)
+        m_np, _ = pad_batch_to_multiple(m_np, self._pad_multiple)
+        mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+        mask[:n_real] = 1.0
+        img = self._put(img_np)
+        m = self._put(m_np)
+        m, gI, loss, reg = self._step(self.I, m, img, self._put(mask))
+        self.ms[batch_index] = np.asarray(m)[:n_real]
         self._image_grad_accum = self._image_grad_accum + gI
         self._image_iters += 1
         if self.image_update_freq > 0:
             self.update_base_image()
-        norm = img.shape[0] / self._num_examples
+        norm = n_real / self._num_examples
         return float(loss) * norm, float(reg) * norm
 
     def epoch(self):

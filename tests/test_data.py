@@ -111,7 +111,9 @@ def test_write_load_roundtrip(h5file, tmp_path):
 def run_cli(args, cwd=REPO):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # only the repo on PYTHONPATH: the environment's sitecustomize would
+    # otherwise force the remote TPU platform in the subprocess
+    env["PYTHONPATH"] = REPO
     return subprocess.run(
         [sys.executable, "-m", "lagomorph_tpu"] + args,
         capture_output=True,
