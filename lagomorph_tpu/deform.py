@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .ops.interp import interp, splat, interp_hessian_diagonal_image
+from .ops.interp import interp, interp_auto, splat, interp_hessian_diagonal_image
 from .ops.sampling import identity_grid
 
 __all__ = [
@@ -36,8 +36,13 @@ def identity(defshape, dtype=np.float32):
 
 
 def compose(u, v, ds=1.0, dt=1.0):
-    """Return ``ds*u(x) + dt*v(x + ds*u(x))`` (reference deform.py:53-55)."""
-    return ds * u + dt * interp(v, u, dt=ds)
+    """Return ``ds*u(x) + dt*v(x + ds*u(x))`` (reference deform.py:53-55).
+
+    Uses the automatic unit-displacement fast path: in EPDiff integration
+    the inner warp's displacement is one Euler sub-step (|ds*u| < 1 voxel
+    for any stable step size), where the warp is a dense stencil instead of
+    a gather."""
+    return ds * u + dt * interp_auto(v, u, dt=ds)
 
 
 def compose_disp_vel(u, v, dt=1.0):

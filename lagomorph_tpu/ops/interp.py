@@ -18,7 +18,14 @@ import itertools
 
 import jax.numpy as jnp
 
-from .sampling import identity_grid, sample_linear, splat_linear
+import jax
+
+from .sampling import (
+    identity_grid,
+    sample_displacement_unit,
+    sample_linear,
+    splat_linear,
+)
 
 
 def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
@@ -37,6 +44,31 @@ def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
     grid = identity_grid(spatial, dtype=u.dtype)
     coords = grid[None] + dt * u
     return sample_linear(I, coords)
+
+
+def interp_auto(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
+    """:func:`interp` with an automatic fast path.
+
+    When every component of ``dt*u`` lies in [-1, 1) — always true for the
+    sub-step compositions of a stable EPDiff integration — the warp reduces
+    to a weighted sum of 3^dim clamped shifts (dense, fusible, dense
+    transpose); otherwise falls back to the general gather.  The switch is a
+    runtime ``lax.cond`` on the displacement bound, so one compiled program
+    handles both regimes with identical results.
+    """
+    d = dt * u if dt != 1.0 else u
+    N = u.shape[0]
+    Ib = I
+    if I.shape[0] == 1 and N > 1:
+        Ib = jnp.broadcast_to(I, (N,) + I.shape[1:])
+    in_range = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+    return jax.lax.cond(
+        in_range,
+        lambda I_, d_: sample_displacement_unit(I_, d_),
+        lambda I_, d_: interp(I_, d_, 1.0),
+        Ib,
+        d,
+    )
 
 
 def splat(values: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:

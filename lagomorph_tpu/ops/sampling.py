@@ -143,6 +143,59 @@ def splat_linear(values: jnp.ndarray, coords: jnp.ndarray, spatial: tuple) -> jn
     return jax.vmap(partial(_splat_one, spatial=tuple(spatial)))(values, coords)
 
 
+def _shift_clamp_nd(a: jnp.ndarray, offsets) -> jnp.ndarray:
+    """Shift ``a`` by integer offsets (|o| <= 1) along its trailing spatial
+    axes with clamped (replicate-edge) boundaries."""
+    from .boundary import shift_clamp
+
+    ndim_sp = len(offsets)
+    for d, o in enumerate(offsets):
+        if o != 0:
+            a = shift_clamp(a, a.ndim - ndim_sp + d, o)
+    return a
+
+
+def sample_displacement_unit(I: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """Fast exact sampling ``out(x) = I(x + disp(x))`` for |disp| <= 1.
+
+    When every displacement component lies in [-1, 1), the corner voxels of
+    the multilinear stencil are confined to x + {-1, 0, 1}^dim, so the
+    gather becomes a weighted sum of 3^dim clamped shifts — dense fused
+    reads on TPU instead of an arbitrary-index gather, and its autodiff
+    transpose is dense shift-adds instead of a scatter.  Bit-identical to
+    :func:`sample_linear` with ``coords = identity + disp`` in that regime
+    (same floor/clamp/weight rules).
+
+    I: ``(NI, C, *spatial)`` (``NI in {1, N}``); disp: ``(N, dim, *spatial)``.
+    """
+    dim = disp.shape[1]
+    spatial = disp.shape[2:]
+    N = disp.shape[0]
+    if I.shape[0] not in (1, N):
+        raise ValueError("Incompatible batch sizes")
+    Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if I.shape[0] == 1 and N > 1 else I
+
+    f = jnp.floor(disp)
+    t = disp - f
+    is_m1 = (f == -1).astype(I.dtype)
+    is_0 = (f == 0).astype(I.dtype)
+    # per-axis weights for shifts -1, 0, +1 (elementwise at the output point)
+    w = {
+        -1: is_m1 * (1.0 - t),
+        0: is_m1 * t + is_0 * (1.0 - t),
+        1: is_0 * t,
+    }
+    out = None
+    for offsets in itertools.product((-1, 0, 1), repeat=dim):
+        wprod = None
+        for d, o in enumerate(offsets):
+            wd = w[o][:, d]
+            wprod = wd if wprod is None else wprod * wd
+        term = wprod[:, None] * _shift_clamp_nd(Ib, offsets)
+        out = term if out is None else out + term
+    return out
+
+
 def identity_grid(spatial: tuple, dtype=jnp.float32) -> jnp.ndarray:
     """``(dim, *spatial)`` identity coordinate grid (voxel units)."""
     dim = len(spatial)

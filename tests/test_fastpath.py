@@ -1,0 +1,96 @@
+"""The unit-displacement fast path must be exactly equivalent to the
+general gather path (values and gradients), in and out of its regime."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lagomorph_tpu as lm
+from lagomorph_tpu.ops.interp import interp, interp_auto
+from lagomorph_tpu.ops.sampling import sample_displacement_unit, identity_grid
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("nc", [1, 3])
+def test_unit_path_matches_general(rng, dim, nc):
+    sp = (6,) * dim
+    I = jnp.asarray(rng.standard_normal((2, nc) + sp))
+    # displacements spanning the whole valid range, incl. exactly -1 and
+    # values near +1, at boundary voxels
+    d = jnp.asarray(rng.uniform(-1.0, 0.999, (2, dim) + sp))
+    fast = sample_displacement_unit(I, d)
+    ref = interp(I, d, dt=1.0)
+    assert np.allclose(np.asarray(fast), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_unit_path_gradients_match(rng, dim):
+    sp = (5,) * dim
+    I = jnp.asarray(rng.standard_normal((1, 2) + sp))
+    d = jnp.asarray(rng.uniform(-0.999, 0.999, (1, dim) + sp))
+
+    def loss_fast(I, d):
+        return jnp.sum(jnp.sin(sample_displacement_unit(I, d)))
+
+    def loss_ref(I, d):
+        return jnp.sum(jnp.sin(interp(I, d, dt=1.0)))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(I, d)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(I, d)
+    for a, b in zip(gf, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_interp_auto_switches(rng):
+    sp = (6, 6)
+    I = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    small = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 2) + sp))
+    big = small * 5.0
+    for u in (small, big):
+        got = interp_auto(I, u)
+        ref = interp(I, u)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+
+
+def test_interp_auto_broadcast_and_grad(rng):
+    sp = (5, 5)
+    I = jnp.asarray(rng.standard_normal((1, 2) + sp))
+    u = jnp.asarray(rng.uniform(-0.8, 0.8, (3, 2) + sp))
+    got = interp_auto(I, u)
+    ref = interp(I, u)
+    assert got.shape == (3, 2, 5, 5)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+    g1 = jax.grad(lambda I: jnp.sum(interp_auto(I, u) ** 2))(I)
+    g2 = jax.grad(lambda I: jnp.sum(interp(I, u) ** 2))(I)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
+
+
+def test_compose_uses_fast_path_and_matches(rng):
+    """compose via interp_auto equals the pre-optimization formula."""
+    sp = (8, 8)
+    u = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2) + sp))
+    v = jnp.asarray(rng.standard_normal((2, 2) + sp))
+    got = lm.compose_disp_vel(v, u, dt=-0.2)
+    ref = -0.2 * u + interp(v, u, dt=-0.2)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+
+
+def test_expmap_unchanged_by_fast_path(rng):
+    """End-to-end: expmap with the fast compose equals a manual expmap
+    built on the general interp only."""
+    from lagomorph_tpu import adjrep
+    from lagomorph_tpu.metric import FluidMetric
+
+    metric = FluidMetric([0.1, 0.0, 0.01])
+    m0 = jnp.asarray(rng.standard_normal((1, 2, 12, 12)) * 0.05)
+
+    phiinv = jnp.zeros_like(m0)
+    dt = 1.0 / 5
+    for _ in range(5):
+        m = adjrep.Ad_star(phiinv, m0)
+        v = metric.sharp(m)
+        phiinv = -dt * v + interp(phiinv, v, dt=-dt)
+    ref = phiinv
+
+    got = lm.expmap(metric, m0, num_steps=5)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
