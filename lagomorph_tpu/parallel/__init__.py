@@ -11,6 +11,7 @@ from .mesh import (
     get_mesh,
     data_sharding,
     replicated_sharding,
+    spatial_sharding,
     shard_batch,
     replicate,
     pad_batch_to_multiple,
@@ -20,6 +21,7 @@ __all__ = [
     "get_mesh",
     "data_sharding",
     "replicated_sharding",
+    "spatial_sharding",
     "shard_batch",
     "replicate",
     "pad_batch_to_multiple",

@@ -35,6 +35,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, ndim: int, spatial_axis: int = 0) -> NamedSharding:
+    """Sharding that splits one spatial axis of an NC+spatial array over the
+    mesh (spatial/grid parallelism — the TPU analogue of sequence
+    parallelism for volumetric grids, SURVEY.md §5).  ``ndim`` is the total
+    array rank; ``spatial_axis`` indexes into the spatial dims (0 = first
+    spatial axis, i.e. array axis 2).
+
+    Under jit, GSPMD turns the stencil/interp/FFT ops into halo exchanges
+    and reshards automatically; correctness is identical to replicated
+    execution (see tests/test_parallel.py)."""
+    axis = mesh.axis_names[0]
+    spec = [None] * ndim
+    spec[2 + spatial_axis] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(x, mesh: Mesh):
     """Place an array with its leading axis sharded over the mesh."""
     return jax.device_put(x, data_sharding(mesh))
