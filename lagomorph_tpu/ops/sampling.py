@@ -31,6 +31,7 @@ from __future__ import annotations
 import itertools
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -194,6 +195,135 @@ def sample_displacement_unit(I: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
         term = wprod[:, None] * _shift_clamp_nd(Ib, offsets)
         out = term if out is None else out + term
     return out
+
+
+def _offset_weight(f, t, o):
+    """Per-axis shift weight: offset ``o`` receives (1-t) when floor==o and
+    t when floor==o-1 (the two stencil corners that land on o)."""
+    dt_ = t.dtype
+    return (f == o).astype(dt_) * (1.0 - t) + (f == (o - 1)).astype(dt_) * t
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sample_displacement_bounded(I: jnp.ndarray, disp: jnp.ndarray, radius: int):
+    """Exact sampling ``out(x) = I(x + disp(x))`` for |disp| <= radius.
+
+    Sweeps integer offsets o in [-radius, radius+1]^dim with a ``lax.scan``:
+    each step is one dynamic-slice of an edge-padded volume times an
+    elementwise mask-weight — dense reads instead of an arbitrary gather,
+    and (via the custom VJP below) dense writes instead of a scatter in the
+    backward pass.  Identical to :func:`sample_linear` (CLAMP semantics)
+    whenever every displacement component lies in [-radius, radius+1);
+    out-of-range points contribute zero (callers gate on the bound with a
+    ``lax.cond`` and fall back to the general gather).
+
+    I: ``(N or 1, C, *spatial)``; disp: ``(N, dim, *spatial)``.
+    """
+    out, _ = _sdb_fwd(I, disp, radius)
+    return out
+
+
+def _sdb_offsets(dim: int, radius: int):
+    offs = np.array(
+        list(itertools.product(range(-radius, radius + 2), repeat=dim)),
+        dtype=np.int32,
+    )
+    return offs
+
+
+def _sdb_pad(I, dim, radius):
+    widths = [(0, 0), (0, 0)] + [(radius, radius + 1)] * dim
+    return jnp.pad(I, widths, mode="edge")
+
+
+def _sdb_fwd(I, disp, radius):
+    dim = disp.shape[1]
+    spatial = disp.shape[2:]
+    N = disp.shape[0]
+    Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if I.shape[0] == 1 and N > 1 else I
+    Ipad = _sdb_pad(Ib, dim, radius)
+    f = jnp.floor(disp).astype(jnp.int32)
+    t = disp - jnp.floor(disp)
+    offs = jnp.asarray(_sdb_offsets(dim, radius))
+
+    sizes = Ipad.shape[:2] + tuple(spatial)
+
+    def body(acc, o):
+        starts = (jnp.int32(0), jnp.int32(0)) + tuple(
+            (o[d] + radius).astype(jnp.int32) for d in range(dim)
+        )
+        sl = jax.lax.dynamic_slice(Ipad, starts, sizes)
+        w = None
+        for d in range(dim):
+            wd = _offset_weight(f[:, d], t[:, d], o[d])
+            w = wd if w is None else w * wd
+        return acc + w[:, None] * sl, None
+
+    acc0 = jnp.zeros(sizes, dtype=I.dtype)
+    out, _ = jax.lax.scan(body, acc0, offs)
+    return out, (I, disp)
+
+
+def _sdb_bwd(radius, res, g):
+    I, disp = res
+    dim = disp.shape[1]
+    spatial = disp.shape[2:]
+    N = disp.shape[0]
+    broadcasting = I.shape[0] == 1 and N > 1
+    Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if broadcasting else I
+    Ipad = _sdb_pad(Ib, dim, radius)
+    f = jnp.floor(disp).astype(jnp.int32)
+    t = disp - jnp.floor(disp)
+    offs = jnp.asarray(_sdb_offsets(dim, radius))
+    sizes = Ipad.shape[:2] + tuple(spatial)
+
+    def body(carry, o):
+        d_Ipad, d_t = carry
+        starts = (jnp.int32(0), jnp.int32(0)) + tuple(
+            (o[d] + radius).astype(jnp.int32) for d in range(dim)
+        )
+        sl = jax.lax.dynamic_slice(Ipad, starts, sizes)
+        ws = [_offset_weight(f[:, d], t[:, d], o[d]) for d in range(dim)]
+        w = ws[0]
+        for d in range(1, dim):
+            w = w * ws[d]
+        # transpose of the weighted slice: add w*g into the padded volume
+        upd = jax.lax.dynamic_slice(d_Ipad, starts, sizes) + w[:, None] * g
+        d_Ipad = jax.lax.dynamic_update_slice(d_Ipad, upd, starts)
+        # d/dt_d of the weight product
+        gsl = jnp.sum(g * sl, axis=1)  # sum over channels -> (N, *spatial)
+        new_dt = []
+        for d in range(dim):
+            dwd = (f[:, d] == (o[d] - 1)).astype(t.dtype) - (
+                f[:, d] == o[d]
+            ).astype(t.dtype)
+            others = None
+            for e in range(dim):
+                if e != d:
+                    others = ws[e] if others is None else others * ws[e]
+            term = dwd if others is None else dwd * others
+            new_dt.append(d_t[:, d] + term * gsl)
+        d_t = jnp.stack(new_dt, axis=1)
+        return (d_Ipad, d_t), None
+
+    d_Ipad0 = jnp.zeros_like(Ipad)
+    d_t0 = jnp.zeros_like(disp)
+    (d_Ipad, d_disp), _ = jax.lax.scan(body, (d_Ipad0, d_t0), offs)
+
+    # transpose of the edge-pad: fold pad strips back onto the edges
+    _, pad_vjp = jax.vjp(lambda x: _sdb_pad(x, dim, radius), Ib)
+    d_Ib = pad_vjp(d_Ipad)[0]
+    if broadcasting:
+        d_I = jnp.sum(d_Ib, axis=0, keepdims=True)
+    else:
+        d_I = d_Ib
+    return d_I, d_disp
+
+
+sample_displacement_bounded.defvjp(
+    lambda I, disp, radius: _sdb_fwd(I, disp, radius),
+    _sdb_bwd,
+)
 
 
 def identity_grid(spatial: tuple, dtype=jnp.float32) -> jnp.ndarray:

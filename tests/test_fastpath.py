@@ -94,3 +94,61 @@ def test_expmap_unchanged_by_fast_path(rng):
 
     got = lm.expmap(metric, m0, num_steps=5)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("radius", [1, 3])
+def test_bounded_path_matches_general(rng, dim, radius):
+    from lagomorph_tpu.ops.sampling import sample_displacement_bounded
+
+    sp = (7,) * dim
+    I = jnp.asarray(rng.standard_normal((2, 2) + sp))
+    d = jnp.asarray(rng.uniform(-radius, radius + 0.999, (2, dim) + sp))
+    fast = sample_displacement_bounded(I, d, radius)
+    ref = interp(I, d, dt=1.0)
+    assert np.allclose(np.asarray(fast), np.asarray(ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_bounded_path_gradients_match(rng, radius):
+    from lagomorph_tpu.ops.sampling import sample_displacement_bounded
+
+    sp = (6, 6)
+    I = jnp.asarray(rng.standard_normal((2, 2) + sp))
+    d = jnp.asarray(rng.uniform(-radius, radius + 0.999, (2, 2) + sp))
+
+    gf = jax.grad(
+        lambda I, d: jnp.sum(jnp.sin(sample_displacement_bounded(I, d, radius))),
+        argnums=(0, 1),
+    )(I, d)
+    gr = jax.grad(
+        lambda I, d: jnp.sum(jnp.sin(interp(I, d, dt=1.0))), argnums=(0, 1)
+    )(I, d)
+    for a, b in zip(gf, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_bounded_path_broadcast_grad(rng):
+    from lagomorph_tpu.ops.sampling import sample_displacement_bounded
+
+    sp = (6, 6)
+    I = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    d = jnp.asarray(rng.uniform(-2, 2.9, (3, 2) + sp))
+    fast = sample_displacement_bounded(I, d, 3)
+    ref = interp(I, d, dt=1.0)
+    assert np.allclose(np.asarray(fast), np.asarray(ref), atol=1e-12)
+    g1 = jax.grad(lambda I: jnp.sum(sample_displacement_bounded(I, d, 3) ** 2))(I)
+    g2 = jax.grad(lambda I: jnp.sum(interp(I, d) ** 2))(I)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-11)
+
+
+def test_interp_auto_tier2(rng):
+    sp = (8, 8)
+    I = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    u = jnp.asarray(rng.uniform(-3.5, 3.5, (1, 2) + sp))  # tier 2 regime
+    got = interp_auto(I, u)
+    ref = interp(I, u)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+    g1 = jax.grad(lambda u: jnp.sum(interp_auto(I, u) ** 3))(u)
+    g2 = jax.grad(lambda u: jnp.sum(interp(I, u) ** 3))(u)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
