@@ -114,6 +114,25 @@ def expmap_advect(metric, m, T=1.0, num_steps=10, phiinv=None):
 # ---------------------------------------------------------------------------
 
 
+class _IndexableLoader:
+    """Random-access adapter over a replayable batch iterable."""
+
+    def __init__(self, loader):
+        self._loader = loader
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        return iter(self._loader)
+
+    def __getitem__(self, i):
+        for j, b in enumerate(self._loader):
+            if j == i:
+                return b
+        raise IndexError(i)
+
+
 def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
                 image_shape=None, mask=None):
     """Loss for one minibatch: MSE(I ∘ phi^{-1}(m), img)/|Ω| + reg.
@@ -336,9 +355,28 @@ class LDDMMAtlasBuilder:
         from .data import batch_iterator, dataset_length
 
         self._num_examples = dataset_length(self.dataset)
-        self._batches = list(
-            batch_iterator(self.dataset, self.batch_size, dtype=self.dtype)
-        )
+        it = batch_iterator(self.dataset, self.batch_size, dtype=self.dtype)
+        if self.dataloader_cache is not None:
+            # disk-backed minibatch cache with native readahead when the C++
+            # toolchain is available (reference --dataloader_cache,
+            # lddmm.py:179-184), falling back to the pure-Python cache
+            try:
+                from .native import NativeBatchCache
+
+                self._batches = NativeBatchCache(
+                    it, cache_dir=self.dataloader_cache,
+                    progress_bar=self.progress_bar,
+                )
+            except Exception:
+                from .data import CachedDataLoader
+
+                cdl = CachedDataLoader(
+                    it, cache_dir=self.dataloader_cache,
+                    progress_bar=self.progress_bar,
+                )
+                self._batches = _IndexableLoader(cdl)
+        else:
+            self._batches = list(it)
 
     def _init_atlas_image(self):
         from .data import batch_average

@@ -182,3 +182,27 @@ def test_lddmm_atlas_momentum_preconditioning(rng):
     )
     builder.run()
     assert np.isfinite(builder.ms[0]).all()
+
+
+def test_lddmm_atlas_dataloader_cache(rng, tmp_path):
+    """Disk-cached minibatches (native readahead or Python fallback) give
+    identical training results."""
+    imgs = make_synth_images(rng, n=4, res=10)
+
+    def run(cache):
+        b = lm.LDDMMAtlasBuilder(
+            list(imgs),
+            num_epochs=1,
+            batch_size=2,
+            lddmm_integration_steps=2,
+            metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+            dataloader_cache=str(tmp_path) if cache else None,
+            progress_bar=False,
+        )
+        b.run()
+        return b
+
+    b0 = run(False)
+    b1 = run(True)
+    assert np.allclose(np.asarray(b0.I), np.asarray(b1.I))
+    assert np.allclose(b0.ms[0], b1.ms[0])

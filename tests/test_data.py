@@ -161,3 +161,16 @@ def test_cli_split(h5file, tmp_path):
     assert r.returncode == 0, r.stderr
     with h5py.File(tr, "r") as f, h5py.File(te, "r") as g:
         assert f["images"].shape[0] + g["images"].shape[0] == 6
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+    from lagomorph_tpu.profiling import device_time, Timer
+
+    t = device_time(lambda x: jnp.sum(x * 2), jnp.ones((64, 64)))
+    assert t >= 0
+    tm = Timer()
+    with tm("a"):
+        pass
+    s = tm.summary()
+    assert s["a"]["count"] == 1
