@@ -149,5 +149,17 @@ def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     M = fluid_multiplier(spatial, tuple(float(p) for p in params), bool(inverse), np_dtype)
     axes = tuple(range(2, 2 + dim))
     F = jnp.fft.rfftn(mv, axes=axes, norm="ortho")
-    F = jnp.einsum("ab...,nb...->na...", jnp.asarray(M, dtype=F.real.dtype), F)
+    # Apply the small d x d per-frequency matrix as unrolled elementwise
+    # multiply-adds over the component axis.  (An einsum/dot_general here
+    # puts the tiny contraction dims minormost, which TPU pads to full
+    # (8,128) tiles — a 40x memory blowup at 3D shapes.)
+    Mj = jnp.asarray(M, dtype=F.real.dtype)
+    rows = []
+    for a in range(dim):
+        acc = None
+        for b in range(dim):
+            term = Mj[a, b][None] * F[:, b]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    F = jnp.stack(rows, axis=1)
     return jnp.fft.irfftn(F, s=spatial, axes=axes, norm="ortho").astype(mv.dtype)
