@@ -78,11 +78,19 @@ def bench(res=128, batch=4, integration_steps=5, iters=10, warmup=2):
 def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    try:
-        sps, batch = bench(res=res, batch=batch)
-    except Exception as e:  # OOM fallback to smaller batch
-        sys.stderr.write(f"bench failed at batch={batch}: {e}\nretrying batch=1\n")
-        sps, batch = bench(res=res, batch=1)
+    sps = None
+    while True:
+        try:
+            sps, batch = bench(res=res, batch=batch)
+            break
+        except Exception as e:  # OOM fallback to smaller batch
+            if batch <= 1:
+                raise
+            sys.stderr.write(
+                f"bench failed at batch={batch}: {str(e)[:300]}\n"
+                f"retrying batch={batch // 2}\n"
+            )
+            batch //= 2
     print(
         json.dumps(
             {

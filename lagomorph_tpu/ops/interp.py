@@ -72,16 +72,22 @@ def interp_auto(
         jnp.all(d >= -float(radius)), jnp.all(d < float(radius + 1))
     )
 
+    # Each tier is rematerialized (jax.checkpoint): under a runtime cond the
+    # linearization residuals of EVERY branch get allocated, so without
+    # remat the untaken branches' saved weight volumes would dominate memory.
+    unit_fn = jax.checkpoint(sample_displacement_unit)
+    general_fn = jax.checkpoint(lambda I_, d_: interp(I_, d_, 1.0))
+
     def tier23(I_, d_):
         return jax.lax.cond(
             bounded,
             lambda: sample_displacement_bounded(I_, d_, radius),
-            lambda: interp(I_, d_, 1.0),
+            lambda: general_fn(I_, d_),
         )
 
     return jax.lax.cond(
         unit,
-        lambda I_, d_: sample_displacement_unit(I_, d_),
+        unit_fn,
         tier23,
         Ib,
         d,
