@@ -186,13 +186,21 @@ def sample_displacement_unit(I: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
         0: is_m1 * t + is_0 * (1.0 - t),
         1: is_0 * t,
     }
+    # one edge-padded buffer; the 27 taps are static slices of it, which XLA
+    # fuses into the multiply-add chain (a single materialized intermediate
+    # instead of 3^dim shifted copies)
+    widths = [(0, 0), (0, 0)] + [(1, 1)] * dim
+    Ipad = jnp.pad(Ib, widths, mode="edge")
     out = None
     for offsets in itertools.product((-1, 0, 1), repeat=dim):
         wprod = None
         for d, o in enumerate(offsets):
             wd = w[o][:, d]
             wprod = wd if wprod is None else wprod * wd
-        term = wprod[:, None] * _shift_clamp_nd(Ib, offsets)
+        idx = (slice(None), slice(None)) + tuple(
+            slice(1 + o, 1 + o + n) for o, n in zip(offsets, spatial)
+        )
+        term = wprod[:, None] * Ipad[idx]
         out = term if out is None else out + term
     return out
 
