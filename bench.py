@@ -19,7 +19,11 @@ import time
 import numpy as np
 
 
-def bench(res=128, batch=4, integration_steps=5, iters=10, warmup=2):
+def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None):
+    if iters is None:
+        iters = 4 if res >= 128 else 10
+    if warmup is None:
+        warmup = 1 if res >= 128 else 2
     import jax
     import jax.numpy as jnp
     import lagomorph_tpu as lm
@@ -60,15 +64,17 @@ def bench(res=128, batch=4, integration_steps=5, iters=10, warmup=2):
     from functools import partial
 
     run = jax.jit(partial(many_steps, n=iters), donate_argnums=(1,))
-    run_warm = jax.jit(partial(many_steps, n=warmup), donate_argnums=(1,))
 
-    # warmup / compile
-    m_w, gI, losses = run_warm(I, m, img)
+    # warmup: compile and execute the SAME executable that gets timed
+    # (its momenta output feeds the timed call, so the remote runtime's
+    # result memoization cannot shortcut it)
+    m_w, gI, losses = run(I, m, img)
     jax.block_until_ready((m_w, gI, losses))
 
     t0 = time.perf_counter()
     m_out, gI, losses = run(I, m_w, img)
-    jax.block_until_ready((m_out, gI, losses))
+    # fetch a scalar to force full completion
+    _ = float(losses[-1])
     t1 = time.perf_counter()
 
     steps_per_sec = iters / (t1 - t0)

@@ -48,7 +48,7 @@ def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
 
 
 def interp_auto(
-    I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 4
+    I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 2
 ) -> jnp.ndarray:
     """:func:`interp` with automatic tiered fast paths.
 

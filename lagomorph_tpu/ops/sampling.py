@@ -252,23 +252,35 @@ def _sdb_fwd(I, disp, radius):
     Ipad = _sdb_pad(Ib, dim, radius)
     f = jnp.floor(disp).astype(jnp.int32)
     t = disp - jnp.floor(disp)
-    offs = jnp.asarray(_sdb_offsets(dim, radius))
 
-    sizes = Ipad.shape[:2] + tuple(spatial)
+    # scan only over the leading-axis offset (2R+2 sequential steps); the
+    # remaining (2R+2)^(dim-1) taps per step are unrolled static slices that
+    # XLA fuses like the tier-1 stencil
+    o0s = jnp.arange(-radius, radius + 2, dtype=jnp.int32)
+    inner = list(itertools.product(range(-radius, radius + 2), repeat=dim - 1))
+    sizes = Ipad.shape[:2] + (spatial[0],) + tuple(Ipad.shape[3:])
 
-    def body(acc, o):
-        starts = (jnp.int32(0), jnp.int32(0)) + tuple(
-            (o[d] + radius).astype(jnp.int32) for d in range(dim)
-        )
-        sl = jax.lax.dynamic_slice(Ipad, starts, sizes)
-        w = None
-        for d in range(dim):
-            wd = _offset_weight(f[:, d], t[:, d], o[d])
-            w = wd if w is None else w * wd
-        return acc + w[:, None] * sl, None
+    def body(acc, o0):
+        starts = (jnp.int32(0), jnp.int32(0), (o0 + radius).astype(jnp.int32)) + (
+            jnp.int32(0),
+        ) * (dim - 1)
+        sl0 = jax.lax.dynamic_slice(Ipad, starts, sizes)  # leading axis shifted
+        w0 = _offset_weight(f[:, 0], t[:, 0], o0)
+        term0 = None
+        for oin in inner:
+            w = w0
+            for d, o in enumerate(oin):
+                w = w * _offset_weight(f[:, d + 1], t[:, d + 1], o)
+            idx = (slice(None), slice(None), slice(None)) + tuple(
+                slice(radius + o, radius + o + n)
+                for o, n in zip(oin, spatial[1:])
+            )
+            contrib = w[:, None] * sl0[idx]
+            term0 = contrib if term0 is None else term0 + contrib
+        return acc + term0, None
 
-    acc0 = jnp.zeros(sizes, dtype=I.dtype)
-    out, _ = jax.lax.scan(body, acc0, offs)
+    acc0 = jnp.zeros((N,) + Ib.shape[1:2] + tuple(spatial), dtype=I.dtype)
+    out, _ = jax.lax.scan(body, acc0, o0s)
     return out, (I, disp)
 
 
@@ -282,41 +294,51 @@ def _sdb_bwd(radius, res, g):
     Ipad = _sdb_pad(Ib, dim, radius)
     f = jnp.floor(disp).astype(jnp.int32)
     t = disp - jnp.floor(disp)
-    offs = jnp.asarray(_sdb_offsets(dim, radius))
-    sizes = Ipad.shape[:2] + tuple(spatial)
+    o0s = jnp.arange(-radius, radius + 2, dtype=jnp.int32)
+    inner = list(itertools.product(range(-radius, radius + 2), repeat=dim - 1))
+    sizes = Ipad.shape[:2] + (spatial[0],) + tuple(Ipad.shape[3:])
 
-    def body(carry, o):
+    def dw(d, o):
+        return (f[:, d] == (o - 1)).astype(t.dtype) - (f[:, d] == o).astype(t.dtype)
+
+    def body(carry, o0):
         d_Ipad, d_t = carry
-        starts = (jnp.int32(0), jnp.int32(0)) + tuple(
-            (o[d] + radius).astype(jnp.int32) for d in range(dim)
-        )
-        sl = jax.lax.dynamic_slice(Ipad, starts, sizes)
-        ws = [_offset_weight(f[:, d], t[:, d], o[d]) for d in range(dim)]
-        w = ws[0]
-        for d in range(1, dim):
-            w = w * ws[d]
-        # transpose of the weighted slice: add w*g into the padded volume
-        upd = jax.lax.dynamic_slice(d_Ipad, starts, sizes) + w[:, None] * g
+        starts = (jnp.int32(0), jnp.int32(0), (o0 + radius).astype(jnp.int32)) + (
+            jnp.int32(0),
+        ) * (dim - 1)
+        sl0 = jax.lax.dynamic_slice(Ipad, starts, sizes)
+        w0 = _offset_weight(f[:, 0], t[:, 0], o0)
+        dw0 = dw(0, o0)
+        d_sl0 = jnp.zeros(sizes, dtype=g.dtype)
+        d_t_new = [d_t[:, d] for d in range(dim)]
+        for oin in inner:
+            ws_in = [_offset_weight(f[:, d + 1], t[:, d + 1], o) for d, o in enumerate(oin)]
+            w_in = None
+            for wd in ws_in:
+                w_in = wd if w_in is None else w_in * wd
+            w = w0 if w_in is None else w0 * w_in
+            idx = (slice(None), slice(None), slice(None)) + tuple(
+                slice(radius + o, radius + o + n)
+                for o, n in zip(oin, spatial[1:])
+            )
+            # transpose of the weighted inner slice
+            d_sl0 = d_sl0.at[idx].add(w[:, None] * g)
+            gsl = jnp.sum(g * sl0[idx], axis=1)  # (N, *spatial)
+            # gradient w.r.t. each axis fraction
+            d_t_new[0] = d_t_new[0] + (dw0 if w_in is None else dw0 * w_in) * gsl
+            for d, o in enumerate(oin):
+                others = w0
+                for e, we in enumerate(ws_in):
+                    if e != d:
+                        others = others * we
+                d_t_new[d + 1] = d_t_new[d + 1] + dw(d + 1, o) * others * gsl
+        upd = jax.lax.dynamic_slice(d_Ipad, starts, sizes) + d_sl0
         d_Ipad = jax.lax.dynamic_update_slice(d_Ipad, upd, starts)
-        # d/dt_d of the weight product
-        gsl = jnp.sum(g * sl, axis=1)  # sum over channels -> (N, *spatial)
-        new_dt = []
-        for d in range(dim):
-            dwd = (f[:, d] == (o[d] - 1)).astype(t.dtype) - (
-                f[:, d] == o[d]
-            ).astype(t.dtype)
-            others = None
-            for e in range(dim):
-                if e != d:
-                    others = ws[e] if others is None else others * ws[e]
-            term = dwd if others is None else dwd * others
-            new_dt.append(d_t[:, d] + term * gsl)
-        d_t = jnp.stack(new_dt, axis=1)
-        return (d_Ipad, d_t), None
+        return (d_Ipad, jnp.stack(d_t_new, axis=1)), None
 
     d_Ipad0 = jnp.zeros_like(Ipad)
     d_t0 = jnp.zeros_like(disp)
-    (d_Ipad, d_disp), _ = jax.lax.scan(body, (d_Ipad0, d_t0), offs)
+    (d_Ipad, d_disp), _ = jax.lax.scan(body, (d_Ipad0, d_t0), o0s)
 
     # transpose of the edge-pad: fold pad strips back onto the edges
     _, pad_vjp = jax.vjp(lambda x: _sdb_pad(x, dim, radius), Ib)
