@@ -22,7 +22,7 @@ def make_dataset(n=32, res=64, seed=0):
     for _ in range(n):
         A = np.eye(2) + 0.05 * rng.standard_normal((2, 2))
         t = rng.uniform(-3, 3, 2)
-        x = np.einsum("ab,b...->a...", A, grid - c.reshape(1, 1)) + (t + c)[:, None, None]
+        x = np.einsum("ab,b...->a...", A, grid - c) + (t + c)[:, None, None]
         r2 = ((x[0] - c) / (res / 5)) ** 2 + ((x[1] - c) / (res / 7)) ** 2
         imgs.append(np.exp(-r2 / 2))
     return np.stack(imgs)[:, None].astype(np.float32)
