@@ -52,29 +52,17 @@ def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None):
         rng.standard_normal((batch, 1, res, res, res)), dtype=jnp.float32
     )
 
-    def many_steps(I, m, img, n):
-        def body(carry, _):
-            m, gI_acc = carry
-            m, gI, loss, reg = step(I, m, img)
-            return (m, gI_acc + gI), loss
+    jstep = jax.jit(step, donate_argnums=(1,))
 
-        (m, gI), losses = jax.lax.scan(body, (m, jnp.zeros_like(I)), None, length=n)
-        return m, gI, losses
-
-    from functools import partial
-
-    run = jax.jit(partial(many_steps, n=iters), donate_argnums=(1,))
-
-    # warmup: compile and execute the SAME executable that gets timed
-    # (its momenta output feeds the timed call, so the remote runtime's
-    # result memoization cannot shortcut it)
-    m_w, gI, losses = run(I, m, img)
-    jax.block_until_ready((m_w, gI, losses))
+    # warmup: compile and execute the exact timed executable; its output
+    # momenta feed the timed calls so no runtime memoization can shortcut
+    m, gI, loss, reg = jstep(I, m, img)
+    _ = float(loss)
 
     t0 = time.perf_counter()
-    m_out, gI, losses = run(I, m_w, img)
-    # fetch a scalar to force full completion
-    _ = float(losses[-1])
+    for _i in range(iters):
+        m, gI, loss, reg = jstep(I, m, img)
+    _ = float(loss)  # forces completion of the whole chain
     t1 = time.perf_counter()
 
     steps_per_sec = iters / (t1 - t0)

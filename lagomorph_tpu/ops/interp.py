@@ -47,6 +47,25 @@ def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
     return sample_linear(I, coords)
 
 
+# Global warp-path mode:
+#   "auto"    — runtime lax.cond tier selection (default; always exact)
+#   "unit"    — force the 27-tap stencil (caller guarantees |d| < 1)
+#   "bounded" — force the radius-R offset sweep (caller guarantees |d| <= R)
+#   "general" — force the gather path
+# Static modes avoid the cond; useful when the caller knows the regime and
+# wants the leanest compiled program (e.g. inside long optimization scans).
+_WARP_MODE = "auto"
+
+
+def set_warp_mode(mode: str):
+    global _WARP_MODE
+    if mode not in ("auto", "unit", "bounded", "general"):
+        raise ValueError(mode)
+    prev = _WARP_MODE
+    _WARP_MODE = mode
+    return prev
+
+
 def interp_auto(
     I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 2
 ) -> jnp.ndarray:
@@ -67,6 +86,12 @@ def interp_auto(
     Ib = I
     if I.shape[0] == 1 and N > 1:
         Ib = jnp.broadcast_to(I, (N,) + I.shape[1:])
+    if _WARP_MODE == "unit":
+        return sample_displacement_unit(Ib, d)
+    if _WARP_MODE == "bounded":
+        return sample_displacement_bounded(Ib, d, radius)
+    if _WARP_MODE == "general":
+        return interp(Ib, d, 1.0)
     unit = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
     bounded = jnp.logical_and(
         jnp.all(d >= -float(radius)), jnp.all(d < float(radius + 1))
