@@ -7,7 +7,7 @@ import jax, jax.numpy as jnp
 from functools import partial
 import lagomorph_tpu as lm
 from lagomorph_tpu.lddmm import make_lddmm_atlas_step
-from lagomorph_tpu.ops import interp as interp_mod
+import lagomorph_tpu.ops.interp as interp_mod
 
 res = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
