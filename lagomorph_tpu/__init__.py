@@ -10,6 +10,8 @@ from .version import __version__
 
 from .ops import (
     interp,
+    interp_auto,
+    set_warp_mode,
     splat,
     interp_hessian_diagonal_image,
     jacobian_times_vectorfield,

@@ -7,7 +7,8 @@ import jax, jax.numpy as jnp
 from functools import partial
 import lagomorph_tpu as lm
 from lagomorph_tpu.lddmm import make_lddmm_atlas_step
-import lagomorph_tpu.ops.interp as interp_mod
+import importlib
+interp_mod = importlib.import_module('lagomorph_tpu.ops.interp')
 
 res = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
