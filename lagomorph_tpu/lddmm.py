@@ -308,6 +308,7 @@ class LDDMMAtlasBuilder:
         gradient_checkpointing=False,
         loader_workers=0,
         dataloader_cache=None,
+        keep_data_on_device=False,
         device=None,
         world_size=1,
         rank=0,
@@ -452,16 +453,26 @@ class LDDMMAtlasBuilder:
         self._image_update = jax.jit(image_update)
 
     # -- persistence (HDF5, same schema as reference lddmm.py:238-285) -----
+    def _momenta_host(self):
+        """Per-batch momenta as host arrays sliced to real (unpadded) sizes."""
+        out = []
+        for i, m in enumerate(self.ms):
+            m = np.asarray(m)
+            if self.keep_data_on_device and hasattr(self, "_dev_cache") and i in self._dev_cache:
+                m = m[: self._dev_cache[i][3]]
+            out.append(m)
+        return out
+
     def save_momenta(self, handle):
-        n = sum(m.shape[0] for m in self.ms)
-        m0 = np.asarray(self.ms[0])
+        ms_host = self._momenta_host()
+        n = sum(m.shape[0] for m in ms_host)
+        m0 = ms_host[0]
         hms = handle.create_dataset(
             "momenta", shape=(n, *m0.shape[1:]), dtype=np.float32
         )
         i = 0
         batch_sizes = []
-        for m in self.ms:
-            m = np.asarray(m)
+        for m in ms_host:
             hms[i : i + m.shape[0], ...] = m.astype(np.float32)
             i += m.shape[0]
             batch_sizes.append(m.shape[0])
@@ -512,8 +523,39 @@ class LDDMMAtlasBuilder:
         self._image_grad_accum = jnp.zeros_like(self.I)
         self._image_iters = 0
 
-    def iteration(self, batch_index):
+    def _staged(self, batch_index):
+        """Stage (img, m, mask, n_real) for one minibatch on device.
+
+        Default: momenta live on host and stream through device memory (the
+        reference's pinned-CPU staging strategy).  With
+        ``keep_data_on_device`` everything is transferred once and reused —
+        the right mode when the dataset fits in HBM (and essential when
+        host<->device bandwidth is the bottleneck).
+        """
         from .parallel import pad_batch_to_multiple
+
+        if self.keep_data_on_device:
+            if not hasattr(self, "_dev_cache"):
+                self._dev_cache = {}
+            if batch_index not in self._dev_cache:
+                img_np = np.asarray(self._batches[batch_index])
+                n_real = img_np.shape[0]
+                img_np, _ = pad_batch_to_multiple(img_np, self._pad_multiple)
+                mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+                mask[:n_real] = 1.0
+                m_np, _ = pad_batch_to_multiple(
+                    np.asarray(self.ms[batch_index]), self._pad_multiple
+                )
+                self._dev_cache[batch_index] = [
+                    self._put(img_np),
+                    self._put(m_np),
+                    self._put(mask),
+                    n_real,
+                ]
+                # momenta now live on device; ms[i] aliases the device array
+                self.ms[batch_index] = self._dev_cache[batch_index][1]
+            img, m, mask, n_real = self._dev_cache[batch_index]
+            return img, self.ms[batch_index], mask, n_real
 
         img_np = np.asarray(self._batches[batch_index])
         m_np = np.asarray(self.ms[batch_index])
@@ -522,10 +564,16 @@ class LDDMMAtlasBuilder:
         m_np, _ = pad_batch_to_multiple(m_np, self._pad_multiple)
         mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
         mask[:n_real] = 1.0
-        img = self._put(img_np)
-        m = self._put(m_np)
-        m, gI, loss, reg = self._step(self.I, m, img, self._put(mask))
-        self.ms[batch_index] = np.asarray(m)[:n_real]
+        return self._put(img_np), self._put(m_np), self._put(mask), n_real
+
+    def iteration(self, batch_index):
+        img, m, mask, n_real = self._staged(batch_index)
+        m, gI, loss, reg = self._step(self.I, m, img, mask)
+        if self.keep_data_on_device:
+            self.ms[batch_index] = m  # stays on device (input was donated)
+            self._dev_cache[batch_index][1] = m
+        else:
+            self.ms[batch_index] = np.asarray(m)[:n_real]
         self._image_grad_accum = self._image_grad_accum + gI
         self._image_iters += 1
         if self.image_update_freq > 0:

@@ -206,3 +206,36 @@ def test_lddmm_atlas_dataloader_cache(rng, tmp_path):
     b1 = run(True)
     assert np.allclose(np.asarray(b0.I), np.asarray(b1.I))
     assert np.allclose(b0.ms[0], b1.ms[0])
+
+
+def test_lddmm_atlas_keep_data_on_device(rng, tmp_path):
+    """On-device data staging gives identical results to host streaming."""
+    imgs = make_synth_images(rng, n=5, res=10)
+
+    def run(on_device):
+        b = lm.LDDMMAtlasBuilder(
+            list(imgs),
+            num_epochs=2,
+            batch_size=2,  # uneven final batch exercises padding
+            lddmm_integration_steps=2,
+            learning_rate_pose=1e-4,
+            learning_rate_image=10.0,
+            metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+            keep_data_on_device=on_device,
+            progress_bar=False,
+        )
+        b.run()
+        return b
+
+    b0 = run(False)
+    b1 = run(True)
+    assert np.allclose(np.asarray(b0.I), np.asarray(b1.I), atol=1e-6)
+    for m0, m1 in zip(b0._momenta_host(), b1._momenta_host()):
+        assert m0.shape == m1.shape
+        assert np.allclose(m0, m1, atol=1e-6)
+    fn = str(tmp_path / "ondev.h5")
+    b1.save(fn)
+    import h5py
+
+    with h5py.File(fn, "r") as f:
+        assert f["momenta"].shape[0] == 5
