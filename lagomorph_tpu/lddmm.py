@@ -693,6 +693,12 @@ class _Tool(Tool):
             help="Rematerialize the shooting loop in the backward pass",
         )
         ag.add_argument(
+            "--keep_data_on_device",
+            action="store_true",
+            help="Stage all batches and momenta in device memory once "
+            "(fastest when the dataset fits in HBM)",
+        )
+        ag.add_argument(
             "--reg_weight", default=1e-1, type=float, help="Deformation regularization"
         )
         ag.add_argument(
@@ -735,6 +741,7 @@ class _Tool(Tool):
             momentum_preconditioning=args.precondition_momentum,
             checkpoint_format=args.checkpoint,
             gradient_checkpointing=args.gradient_checkpointing,
+            keep_data_on_device=args.keep_data_on_device,
             metric=metric,
             learning_rate_pose=args.learning_rate_m,
             learning_rate_image=args.learning_rate_I,
