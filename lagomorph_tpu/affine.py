@@ -200,6 +200,7 @@ def affine_atlas(
     learning_rate_I=1e5,
     mesh=None,
     progress_bar=True,
+    keep_data_on_device=False,
     loader_workers=None,
     gpu=None,
     world_size=None,
@@ -259,6 +260,23 @@ def affine_atlas(
 
     image_update = jax.jit(image_update)
 
+    from .parallel import pad_batch_to_multiple
+
+    # pre-stage padded batches (and masks); optionally resident on device
+    staged = []
+    for ix, img in batches:
+        n_real = img.shape[0]
+        img_np, _ = pad_batch_to_multiple(np.asarray(img), pad_multiple)
+        mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+        mask[:n_real] = 1.0
+        if keep_data_on_device:
+            img_np = jnp.asarray(img_np)
+            mask = jnp.asarray(mask)
+        staged.append((ix, img_np, mask, n_real))
+
+    # per-batch transform params, on device when requested
+    dev_AT = {}
+
     epoch_losses = []
     iter_losses = []
     epbar = range(num_epochs)
@@ -268,27 +286,24 @@ def affine_atlas(
     image_iters = 0
     for epoch in epbar:
         epoch_loss = 0.0
-        itbar = batches
+        itbar = staged
         if progress_bar:
-            itbar = tqdm(batches, desc="iter", leave=False)
-        for ix, img in itbar:
-            from .parallel import pad_batch_to_multiple
-
-            n_real = img.shape[0]
-            img_np, _ = pad_batch_to_multiple(np.asarray(img), pad_multiple)
-            A_np, _ = pad_batch_to_multiple(As[ix], pad_multiple)
-            T_np, _ = pad_batch_to_multiple(Ts[ix], pad_multiple)
-            mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
-            mask[:n_real] = 1.0
+            itbar = tqdm(staged, desc="iter", leave=False)
+        for bi, (ix, img_np, mask, n_real) in enumerate(itbar):
+            if keep_data_on_device and bi in dev_AT:
+                A_in, T_in = dev_AT[bi]
+            else:
+                A_np, _ = pad_batch_to_multiple(As[ix], pad_multiple)
+                T_np, _ = pad_batch_to_multiple(Ts[ix], pad_multiple)
+                A_in, T_in = jnp.asarray(A_np), jnp.asarray(T_np)
             A, T, gI, loss = step(
-                I,
-                jnp.asarray(A_np),
-                jnp.asarray(T_np),
-                jnp.asarray(img_np),
-                jnp.asarray(mask),
+                I, A_in, T_in, jnp.asarray(img_np), jnp.asarray(mask)
             )
-            As[ix] = np.asarray(A)[:n_real]
-            Ts[ix] = np.asarray(T)[:n_real]
+            if keep_data_on_device:
+                dev_AT[bi] = (A, T)
+            else:
+                As[ix] = np.asarray(A)[:n_real]
+                Ts[ix] = np.asarray(T)[:n_real]
             Igrad = Igrad + gI
             image_iters += 1
             li = float(loss) * (n_real / n_total)
@@ -305,6 +320,13 @@ def affine_atlas(
         epoch_losses.append(epoch_loss)
         if progress_bar:
             epbar.set_postfix(epoch_loss=epoch_loss)
+    if keep_data_on_device:
+        # write device-resident transforms back to the host arrays
+        for bi, (ix, _img, _mask, n_real) in enumerate(staged):
+            if bi in dev_AT:
+                A, T = dev_AT[bi]
+                As[ix] = np.asarray(A)[:n_real]
+                Ts[ix] = np.asarray(T)[:n_real]
     return I, As, Ts, epoch_losses, iter_losses
 
 

@@ -239,3 +239,24 @@ def test_lddmm_atlas_keep_data_on_device(rng, tmp_path):
 
     with h5py.File(fn, "r") as f:
         assert f["momenta"].shape[0] == 5
+
+
+def test_affine_atlas_keep_data_on_device(rng):
+    imgs = make_synth_images(rng, n=5, res=12)
+
+    def run(on_device):
+        As = np.zeros((5, 2, 2), dtype=np.float32)
+        Ts = np.zeros((5, 2), dtype=np.float32)
+        return lm.affine_atlas(
+            list(imgs), As, Ts,
+            num_epochs=3, batch_size=2,  # uneven final batch
+            learning_rate_A=1e-4, learning_rate_T=1e-2, learning_rate_I=1e2,
+            keep_data_on_device=on_device, progress_bar=False,
+        )
+
+    I0, As0, Ts0, el0, _ = run(False)
+    I1, As1, Ts1, el1, _ = run(True)
+    assert np.allclose(np.asarray(I0), np.asarray(I1), atol=1e-6)
+    assert np.allclose(As0, As1, atol=1e-6)
+    assert np.allclose(Ts0, Ts1, atol=1e-6)
+    assert np.allclose(el0, el1, rtol=1e-5)
