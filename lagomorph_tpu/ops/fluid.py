@@ -134,6 +134,103 @@ def fluid_multiplier(spatial: tuple, params: tuple, inverse: bool, dtype=np.floa
     return M.astype(dtype)
 
 
+def _safe_sqrt_jnp(x):
+    return jnp.where(x < 1e-8, 1e-4, jnp.sqrt(jnp.maximum(x, 1e-8)))
+
+
+def _fluid_multiplier_traced(spatial, params, inverse, dtype):
+    """Traced (jnp) construction of the per-frequency multiplier entries.
+
+    Same math as :func:`fluid_multiplier`, but built from iota inside the
+    compiled program — a few dozen elementwise ops on the half-spectrum grid,
+    negligible next to the FFTs, instead of a multi-hundred-MB baked
+    constant (which at 256^3 exceeds program-size limits and wastes HBM).
+
+    Returns a dict {(a, b): array} of the symmetric matrix entries
+    (a >= b), each of shape ``freq_shape``.
+    """
+    alpha, beta, gamma = params
+    d = len(spatial)
+    freq_shape = tuple(spatial[:-1]) + (spatial[-1] // 2 + 1,)
+    ws, ss = [], []
+    for a in range(d):
+        Nf = freq_shape[a]
+        N = spatial[a]
+        k = jnp.arange(Nf, dtype=dtype)
+        shape = [1] * d
+        shape[a] = Nf
+        ang = 2.0 * jnp.pi * k / N
+        ws.append((2.0 * (1.0 - jnp.cos(ang))).reshape(shape))
+        ss.append(jnp.sin(ang).reshape(shape))
+
+    lam = gamma + alpha * sum(jnp.broadcast_to(w, freq_shape) for w in ws)
+    l = {}
+    for a in range(d):
+        l[(a, a)] = lam - beta * jnp.broadcast_to(ws[a], freq_shape)
+        for b in range(a):
+            l[(a, b)] = beta * jnp.broadcast_to(ss[a] * ss[b], freq_shape)
+
+    def lget(a, b):
+        return l[(a, b)] if a >= b else l[(b, a)]
+
+    # L = l @ l (symmetric square)
+    L = {}
+    for a in range(d):
+        for b in range(a + 1):
+            acc = None
+            for c in range(d):
+                term = lget(a, c) * lget(c, b)
+                acc = term if acc is None else acc + term
+            L[(a, b)] = acc
+
+    if not inverse:
+        return L
+
+    # floored-Cholesky inverse (metric.cu:20-130)
+    if d == 2:
+        ooG00 = 1.0 / _safe_sqrt_jnp(L[(0, 0)])
+        G10 = L[(1, 0)] * ooG00
+        ooG11 = 1.0 / _safe_sqrt_jnp(L[(1, 1)] - G10 * G10)
+
+        def solve(b0, b1):
+            y0 = b0 * ooG00
+            y1 = (b1 - G10 * y0) * ooG11
+            x1 = y1 * ooG11
+            x0 = (y0 - G10 * x1) * ooG00
+            return x0, x1
+
+        one = jnp.ones(freq_shape, dtype)
+        zero = jnp.zeros(freq_shape, dtype)
+        c00, c10 = solve(one, zero)
+        _, c11 = solve(zero, one)
+        return {(0, 0): c00, (1, 0): c10, (1, 1): c11}
+    elif d == 3:
+        ooG00 = 1.0 / _safe_sqrt_jnp(L[(0, 0)])
+        G10 = L[(1, 0)] * ooG00
+        G20 = L[(2, 0)] * ooG00
+        ooG11 = 1.0 / _safe_sqrt_jnp(L[(1, 1)] - G10 * G10)
+        G21 = (L[(2, 1)] - G20 * G10) * ooG11
+        ooG22 = 1.0 / _safe_sqrt_jnp(L[(2, 2)] - G20 * G20 - G21 * G21)
+
+        def solve(b0, b1, b2):
+            y0 = b0 * ooG00
+            y1 = (b1 - G10 * y0) * ooG11
+            y2 = (b2 - G20 * y0 - G21 * y1) * ooG22
+            x2 = y2 * ooG22
+            x1 = (y1 - G21 * x2) * ooG11
+            x0 = (y0 - G10 * x1 - G20 * x2) * ooG00
+            return x0, x1, x2
+
+        one = jnp.ones(freq_shape, dtype)
+        zero = jnp.zeros(freq_shape, dtype)
+        c00, c10, c20 = solve(one, zero, zero)
+        _, c11, c21 = solve(zero, one, zero)
+        _, _, c22 = solve(zero, zero, one)
+        return {(0, 0): c00, (1, 0): c10, (1, 1): c11,
+                (2, 0): c20, (2, 1): c21, (2, 2): c22}
+    raise ValueError("Only 2D and 3D fluid operators are supported")
+
+
 def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     """Apply the fluid operator (or its inverse) to a batch of vector fields.
 
@@ -145,20 +242,25 @@ def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     spatial = tuple(mv.shape[2:])
     if dim != len(spatial):
         raise ValueError("Vector field has incorrect shape for dimension")
-    np_dtype = np.dtype(mv.dtype)
-    M = fluid_multiplier(spatial, tuple(float(p) for p in params), bool(inverse), np_dtype)
     axes = tuple(range(2, 2 + dim))
     F = jnp.fft.rfftn(mv, axes=axes, norm="ortho")
+    rdtype = jnp.real(F).dtype
+    M = _fluid_multiplier_traced(
+        spatial, tuple(float(p) for p in params), bool(inverse), rdtype
+    )
+
+    def mget(a, b):
+        return M[(a, b)] if a >= b else M[(b, a)]
+
     # Apply the small d x d per-frequency matrix as unrolled elementwise
     # multiply-adds over the component axis.  (An einsum/dot_general here
     # puts the tiny contraction dims minormost, which TPU pads to full
     # (8,128) tiles — a 40x memory blowup at 3D shapes.)
-    Mj = jnp.asarray(M, dtype=F.real.dtype)
     rows = []
     for a in range(dim):
         acc = None
         for b in range(dim):
-            term = Mj[a, b][None] * F[:, b]
+            term = mget(a, b)[None] * F[:, b]
             acc = term if acc is None else acc + term
         rows.append(acc)
     F = jnp.stack(rows, axis=1)
