@@ -357,8 +357,13 @@ sample_displacement_bounded.defvjp(
 
 
 def identity_grid(spatial: tuple, dtype=jnp.float32) -> jnp.ndarray:
-    """``(dim, *spatial)`` identity coordinate grid (voxel units)."""
+    """``(dim, *spatial)`` identity coordinate grid (voxel units).
+
+    Uses ``broadcasted_iota`` so that under jit the grid is generated by the
+    program (cheap iota ops) rather than baked in as a large constant."""
     dim = len(spatial)
-    axes = [jnp.arange(n, dtype=dtype) for n in spatial]
-    grids = jnp.meshgrid(*axes, indexing="ij")
-    return jnp.stack(grids, axis=0) if dim > 1 else grids[0][None]
+    spatial = tuple(spatial)
+    grids = [
+        jax.lax.broadcasted_iota(jnp.dtype(dtype), spatial, d) for d in range(dim)
+    ]
+    return jnp.stack(grids, axis=0)
