@@ -19,11 +19,16 @@ import time
 import numpy as np
 
 
-def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None):
+def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None,
+          checkpoints=None):
     if iters is None:
         iters = 4 if res >= 128 else 10
     if warmup is None:
         warmup = 1 if res >= 128 else 2
+    if checkpoints is None:
+        # the reverse tape of 5 integration steps at 256^3 exceeds HBM;
+        # rematerialize the shooting loop there
+        checkpoints = res >= 256
     import jax
     import jax.numpy as jnp
     import lagomorph_tpu as lm
@@ -36,7 +41,7 @@ def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None):
         learning_rate_pose=1e-6,
         lddmm_steps=1,
         integration_steps=integration_steps,
-        checkpoints=False,
+        checkpoints=checkpoints,
     )
 
     rng = np.random.default_rng(0)
