@@ -86,8 +86,18 @@ def interp_auto(
     Ib = I
     if I.shape[0] == 1 and N > 1:
         Ib = jnp.broadcast_to(I, (N,) + I.shape[1:])
+
+    # tier-1 implementation: fused Pallas kernel when the shape/dtype
+    # qualifies, else the XLA 27-tap stencil
+    from .pallas import warp_unit as _wu
+
+    if _wu.supported(Ib.shape, d.shape, d.dtype):
+        unit_impl = _wu.sample_displacement_unit_pallas
+    else:
+        unit_impl = sample_displacement_unit
+
     if _WARP_MODE == "unit":
-        return sample_displacement_unit(Ib, d)
+        return unit_impl(Ib, d)
     if _WARP_MODE == "bounded":
         return sample_displacement_bounded(Ib, d, radius)
     if _WARP_MODE == "general":
@@ -100,7 +110,12 @@ def interp_auto(
     # Each tier is rematerialized (jax.checkpoint): under a runtime cond the
     # linearization residuals of EVERY branch get allocated, so without
     # remat the untaken branches' saved weight volumes would dominate memory.
-    unit_fn = jax.checkpoint(sample_displacement_unit)
+    # (The Pallas impl has a custom_vjp, which already stores only inputs.)
+    unit_fn = (
+        unit_impl
+        if unit_impl is not sample_displacement_unit
+        else jax.checkpoint(sample_displacement_unit)
+    )
     general_fn = jax.checkpoint(lambda I_, d_: interp(I_, d_, 1.0))
 
     def tier23(I_, d_):
