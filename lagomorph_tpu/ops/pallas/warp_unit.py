@@ -199,13 +199,207 @@ def _sdu_fwd(I, disp):
 
 
 def _sdu_bwd(res, g):
-    # backward via the XLA formulation's VJP (dense pad-transposes); shares
-    # the exact discretization so gradients are identical
+    I, disp = res
+    N = disp.shape[0]
+    X, Y, Z = disp.shape[2:]
+    broadcasting = I.shape[0] == 1 and N > 1
+    if supported(
+        ((N,) + I.shape[1:]), disp.shape, disp.dtype
+    ):
+        Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if broadcasting else I
+        Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
+        zpad = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
+        gpad = jnp.pad(g, zpad)  # zero pad
+        dpad = jnp.pad(disp, zpad)
+        d_I, d_disp = _warp_unit_bwd_pallas(
+            Ipad.reshape(N, -1, X + 16, Y * Z),
+            gpad.reshape(N, -1, X + 16, Y * Z),
+            dpad.reshape(N, 3, X + 16, Y * Z),
+            X, Y, Z,
+        )
+        if broadcasting:
+            d_I = jnp.sum(d_I, axis=0, keepdims=True)
+        return d_I, d_disp
+    # fallback: the XLA formulation's VJP (identical discretization)
     from ..sampling import sample_displacement_unit
 
-    I, disp = res
     _, vjp = jax.vjp(sample_displacement_unit, I, disp)
     return vjp(g)
 
 
 sample_displacement_unit_pallas.defvjp(_sdu_fwd, _sdu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(BX, Y, Z, C, X,
+                Ipad_ref, gpad_ref, dpad_ref,
+                dI_ref, dD_ref,
+                I_slab, g_slab, d_slab, sems):
+    """Backward of the 27-tap warp for one (n, x-block, channel).
+
+    d_I[v]    = sum_o T_o(w_o * g)[v]   (T_o = per-axis shift-transposes
+                with clamp edge-folds; zero-padded g makes out-of-domain
+                contributions vanish)
+    d_disp[a] = sum_o dw_a(o_a) * prod_{b!=a} w_b(o_b) * g * I_tap_o
+                (I taps identical to the forward kernel, accumulated over
+                the channel grid dimension by output revisiting)
+    """
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    c = pl.program_id(2)
+    YZ = Y * Z
+
+    cp1 = pltpu.make_async_copy(
+        Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], I_slab, sems.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        gpad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], g_slab, sems.at[1]
+    )
+    cp3 = pltpu.make_async_copy(
+        dpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], d_slab, sems.at[2]
+    )
+    cp1.start(); cp2.start(); cp3.start()
+    cp3.wait()
+
+    d = d_slab[...]  # (3, BX+16, YZ)
+    f = jnp.floor(d)
+    t = d - f
+    is_m1 = (f == -1.0).astype(d.dtype)
+    is_0 = (f == 0.0).astype(d.dtype)
+    w_s = {
+        -1: is_m1 * (1.0 - t),
+        0: is_m1 * t + is_0 * (1.0 - t),
+        1: is_0 * t,
+    }
+    dw_s = {-1: -is_m1, 0: is_m1 - is_0, 1: is_0}  # d w / d t per offset
+
+    slab_shape = (BX + 16, YZ)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
+    y_idx_s = lane_s // Z
+    z_idx_s = lane_s - y_idx_s * Z
+    row_s = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 0)
+    gx_s = row_s + xb * BX - 8  # global x of each slab row
+
+    blk_shape = (BX, YZ)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
+    y_idx_b = lane_b // Z
+    z_idx_b = lane_b - y_idx_b * Z
+    row_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 0)
+    gx_b = row_b + xb * BX
+
+    cp2.wait()
+    g_sl = g_slab[...]
+    g_ctr = g_sl[8 : 8 + BX, :]
+
+    # --- d_I: sum over offsets of the transposed weighted stencil ---------
+    acc_dI = jnp.zeros(blk_shape, dtype=d.dtype)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                P = (w_s[ox][0] * w_s[oy][1] * w_s[oz][2]) * g_sl
+                # x transpose: slab roll by +ox, center slice; zero-padded g
+                # kills out-of-domain reads; edge-fold adds P at the clamped
+                # global boundary rows
+                Pr = pltpu.roll(P, ox % (BX + 16), 0) if ox != 0 else P
+                A = Pr[8 : 8 + BX, :]
+                if ox != 0:
+                    edge = (gx_b == 0) if ox == -1 else (gx_b == X - 1)
+                    A = A + jnp.where(edge, P[8 : 8 + BX, :], 0.0)
+                # y transpose on the block
+                if oy != 0:
+                    wrap = (y_idx_b == 0) if oy == 1 else (y_idx_b == Y - 1)
+                    Ar = pltpu.roll(A, (oy * Z) % YZ, 1)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    edge = (y_idx_b == 0) if oy == -1 else (y_idx_b == Y - 1)
+                    A = A2 + jnp.where(edge, A, 0.0)
+                # z transpose on the block
+                if oz != 0:
+                    wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
+                    Ar = pltpu.roll(A, oz % YZ, 1)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    edge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
+                    A = A2 + jnp.where(edge, A, 0.0)
+                acc_dI = acc_dI + A
+    dI_ref[0, 0] = acc_dI
+
+    # --- d_disp: forward-style I taps, weight-derivative contractions -----
+    cp1.wait()
+    I_sl = I_slab[...]
+    # center-block weights/derivatives (output positions)
+    wc = {o: w_s[o][:, 8 : 8 + BX, :] for o in (-1, 0, 1)}
+    dwc = {o: dw_s[o][:, 8 : 8 + BX, :] for o in (-1, 0, 1)}
+
+    def roll_clamp_b(A, o, step, idx, n_axis):
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 1)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    acc_d = [jnp.zeros(blk_shape, dtype=d.dtype) for _ in range(3)]
+    for ox in (-1, 0, 1):
+        base = pltpu.roll(I_sl, (-ox) % (BX + 16), 0) if ox != 0 else I_sl
+        base = base[8 : 8 + BX, :]
+        for oy in (-1, 0, 1):
+            xy = roll_clamp_b(base, oy, Z, y_idx_b, Y)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp_b(xy, oz, 1, z_idx_b, Z)
+                gt = g_ctr * tap
+                acc_d[0] = acc_d[0] + dwc[ox][0] * wc[oy][1] * wc[oz][2] * gt
+                acc_d[1] = acc_d[1] + wc[ox][0] * dwc[oy][1] * wc[oz][2] * gt
+                acc_d[2] = acc_d[2] + wc[ox][0] * wc[oy][1] * dwc[oz][2] * gt
+
+    contrib = jnp.stack(acc_d, axis=0)  # (3, BX, YZ)
+
+    @pl.when(c == 0)
+    def _():
+        dD_ref[0] = contrib
+
+    @pl.when(c != 0)
+    def _():
+        dD_ref[0] = dD_ref[0] + contrib
+
+
+def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
+    """Ipad: (N,C,X+16,YZ) edge-padded; gpad/dpad zero-padded (C / 3 chans).
+    Returns (d_I (N,C,X,Y,Z), d_disp (N,3,X,Y,Z))."""
+    N, C = Ipad.shape[:2]
+    BX = _pick_block(X)
+    grid = (N, X // BX, C)
+    kernel = partial(_bwd_kernel, BX, Y, Z, C, X)
+    dI, dD = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, C, X, Y * Z), Ipad.dtype),
+            jax.ShapeDtypeStruct((N, 3, X, Y * Z), Ipad.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, BX, Y * Z),
+                lambda n, xb, c: (n, c, xb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, BX, Y * Z),
+                lambda n, xb, c: (n, 0, xb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BX + 16, Y * Z), jnp.float32),
+            pltpu.VMEM((BX + 16, Y * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(Ipad, gpad, dpad)
+    return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
