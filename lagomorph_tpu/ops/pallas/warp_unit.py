@@ -55,8 +55,11 @@ def pallas_available() -> bool:
     return _HAVE_PALLAS
 
 
-def _pick_block(X: int) -> int:
-    for bx in (8, 16, 4, 2):
+def _pick_block(X: int, YZ: int = 0) -> int:
+    # smaller x-blocks at large lane extents keep slab temporaries within
+    # scoped VMEM
+    prefs = (4, 8, 2) if YZ >= 16384 else (8, 16, 4, 2)
+    for bx in prefs:
         if X % bx == 0:
             return bx
     return 0
@@ -72,12 +75,12 @@ def supported(I_shape, disp_shape, dtype) -> bool:
     if len(disp_shape) != 5 or disp_shape[1] != 3:
         return False
     X, Y, Z = disp_shape[2:]
-    if _pick_block(X) == 0:
+    if _pick_block(X, Y * Z) == 0:
         return False
     if (Y * Z) % 128 != 0:
         return False
     C = I_shape[1]
-    bx = _pick_block(X)
+    bx = _pick_block(X, Y * Z)
     vmem = (C * (bx + 16) + 3 * bx + 4 * C * bx) * Y * Z * 4
     return vmem < 12 * 1024 * 1024
 
@@ -100,15 +103,19 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
     )
     cp.start()
     d = disp_ref[0]  # (3, BX, Y*Z)
-    f = jnp.floor(d)
-    t = d - f
-    is_m1 = (f == -1.0).astype(d.dtype)
-    is_0 = (f == 0.0).astype(d.dtype)
-    w = {
-        -1: is_m1 * (1.0 - t),
-        0: is_m1 * t + is_0 * (1.0 - t),
-        1: is_0 * t,
-    }
+
+    def w(axis, o):
+        da = d[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
     cp.wait()
 
     YZ = Y * Z
@@ -133,13 +140,13 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
         # (the wrapped rows land outside the sliced window)
         rolled = pltpu.roll(slab, (-ox) % (BX + 16), 1) if ox != 0 else slab
         base = rolled[:, 8 : 8 + BX, :]
-        wx = w[ox][0]
+        wx = w(0, ox)
         for oy in (-1, 0, 1):
             xy = roll_clamp(base, oy, Z, y_idx, Y)
-            wxy = wx * w[oy][1]
+            wxy = wx * w(1, oy)
             for oz in (-1, 0, 1):
                 tap = roll_clamp(xy, oz, 1, z_idx, Z)
-                acc = acc + (wxy * w[oz][2])[None] * tap
+                acc = acc + (wxy * w(2, oz))[None] * tap
     out_ref[0] = acc
 
 
@@ -147,7 +154,7 @@ def _warp_unit_fwd_pallas(Ipad, disp):
     """Ipad: (N, C, X+16, Y, Z) x-edge-padded; disp: (N, 3, X, Y, Z)."""
     N, C = Ipad.shape[:2]
     X, Y, Z = disp.shape[2:]
-    BX = _pick_block(X)
+    BX = _pick_block(X, Y * Z)
     grid = (N, X // BX)
     kernel = partial(_fwd_kernel, BX, Y, Z, C)
     Ipad_f = Ipad.reshape(N, C, X + 16, Y * Z)
@@ -266,16 +273,27 @@ def _bwd_kernel(BX, Y, Z, C, X,
     cp3.wait()
 
     d = d_slab[...]  # (3, BX+16, YZ)
-    f = jnp.floor(d)
-    t = d - f
-    is_m1 = (f == -1.0).astype(d.dtype)
-    is_0 = (f == 0.0).astype(d.dtype)
-    w_s = {
-        -1: is_m1 * (1.0 - t),
-        0: is_m1 * t + is_0 * (1.0 - t),
-        1: is_0 * t,
-    }
-    dw_s = {-1: -is_m1, 0: is_m1 - is_0, 1: is_0}  # d w / d t per offset
+
+    def w_s(axis, o):
+        da = d[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
+    def dw_s(axis, o):
+        da = d[axis]
+        fa = jnp.floor(da)
+        if o == -1:
+            return -(fa == -1.0).astype(da.dtype)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
+        return (fa == 0.0).astype(da.dtype)
 
     slab_shape = (BX + 16, YZ)
     lane_s = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
@@ -300,7 +318,7 @@ def _bwd_kernel(BX, Y, Z, C, X,
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
-                P = (w_s[ox][0] * w_s[oy][1] * w_s[oz][2]) * g_sl
+                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_sl
                 # x transpose: slab roll by +ox, center slice; zero-padded g
                 # kills out-of-domain reads; edge-fold adds P at the clamped
                 # global boundary rows
@@ -329,9 +347,12 @@ def _bwd_kernel(BX, Y, Z, C, X,
     # --- d_disp: forward-style I taps, weight-derivative contractions -----
     cp1.wait()
     I_sl = I_slab[...]
-    # center-block weights/derivatives (output positions)
-    wc = {o: w_s[o][:, 8 : 8 + BX, :] for o in (-1, 0, 1)}
-    dwc = {o: dw_s[o][:, 8 : 8 + BX, :] for o in (-1, 0, 1)}
+    # center-block weights/derivatives (output positions), computed lazily
+    def wc(axis, o):
+        return w_s(axis, o)[8 : 8 + BX, :]
+
+    def dwc(axis, o):
+        return dw_s(axis, o)[8 : 8 + BX, :]
 
     def roll_clamp_b(A, o, step, idx, n_axis):
         if o == 0:
@@ -349,9 +370,10 @@ def _bwd_kernel(BX, Y, Z, C, X,
             for oz in (-1, 0, 1):
                 tap = roll_clamp_b(xy, oz, 1, z_idx_b, Z)
                 gt = g_ctr * tap
-                acc_d[0] = acc_d[0] + dwc[ox][0] * wc[oy][1] * wc[oz][2] * gt
-                acc_d[1] = acc_d[1] + wc[ox][0] * dwc[oy][1] * wc[oz][2] * gt
-                acc_d[2] = acc_d[2] + wc[ox][0] * wc[oy][1] * dwc[oz][2] * gt
+                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
+                acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
+                acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
 
     contrib = jnp.stack(acc_d, axis=0)  # (3, BX, YZ)
 
@@ -368,7 +390,7 @@ def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
     """Ipad: (N,C,X+16,YZ) edge-padded; gpad/dpad zero-padded (C / 3 chans).
     Returns (d_I (N,C,X,Y,Z), d_disp (N,3,X,Y,Z))."""
     N, C = Ipad.shape[:2]
-    BX = _pick_block(X)
+    BX = _pick_block(X, Y * Z)
     grid = (N, X // BX, C)
     kernel = partial(_bwd_kernel, BX, Y, Z, C, X)
     dI, dD = pl.pallas_call(
