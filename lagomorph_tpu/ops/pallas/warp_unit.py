@@ -14,10 +14,8 @@ formulation); gated by shape/dtype checks with automatic fallback.
 """
 from __future__ import annotations
 
-import itertools
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -28,8 +26,6 @@ try:
     _HAVE_PALLAS = True
 except ImportError:  # pragma: no cover
     _HAVE_PALLAS = False
-
-_OFFSETS = list(itertools.product((-1, 0, 1), repeat=3))
 
 _ENABLED = True
 

@@ -144,18 +144,6 @@ def splat_linear(values: jnp.ndarray, coords: jnp.ndarray, spatial: tuple) -> jn
     return jax.vmap(partial(_splat_one, spatial=tuple(spatial)))(values, coords)
 
 
-def _shift_clamp_nd(a: jnp.ndarray, offsets) -> jnp.ndarray:
-    """Shift ``a`` by integer offsets (|o| <= 1) along its trailing spatial
-    axes with clamped (replicate-edge) boundaries."""
-    from .boundary import shift_clamp
-
-    ndim_sp = len(offsets)
-    for d, o in enumerate(offsets):
-        if o != 0:
-            a = shift_clamp(a, a.ndim - ndim_sp + d, o)
-    return a
-
-
 def sample_displacement_unit(I: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     """Fast exact sampling ``out(x) = I(x + disp(x))`` for |disp| <= 1.
 
@@ -229,14 +217,6 @@ def sample_displacement_bounded(I: jnp.ndarray, disp: jnp.ndarray, radius: int):
     """
     out, _ = _sdb_fwd(I, disp, radius)
     return out
-
-
-def _sdb_offsets(dim: int, radius: int):
-    offs = np.array(
-        list(itertools.product(range(-radius, radius + 2), repeat=dim)),
-        dtype=np.int32,
-    )
-    return offs
 
 
 def _sdb_pad(I, dim, radius):
