@@ -408,6 +408,11 @@ class _Tool(Tool):
         ag.add_argument("--learning_rate_A", default=1e-3, type=float)
         ag.add_argument("--learning_rate_T", default=1e-2, type=float)
         ag.add_argument("--learning_rate_I", default=1e4, type=float)
+        ag.add_argument(
+            "--keep_data_on_device",
+            action="store_true",
+            help="Stage all batches and transforms in device memory once",
+        )
         self._compute_args(parser)
         args = parser.parse_args(sys.argv[2:])
         self._initialize_compute(args)
@@ -439,6 +444,7 @@ class _Tool(Tool):
             learning_rate_A=args.learning_rate_A,
             learning_rate_T=args.learning_rate_T,
             learning_rate_I=args.learning_rate_I,
+            keep_data_on_device=args.keep_data_on_device,
             mesh=self.mesh,
             progress_bar=self.rank == 0,
         )

@@ -52,10 +52,8 @@ def pallas_available() -> bool:
 
 
 def _pick_block(X: int, YZ: int = 0) -> int:
-    # smaller x-blocks at large lane extents keep slab temporaries within
-    # scoped VMEM
-    prefs = (4, 8, 2) if YZ >= 16384 else (8, 16, 4, 2)
-    for bx in prefs:
+    # sublane blocks must be multiples of 8 (Mosaic tiling rule)
+    for bx in (8, 16):
         if X % bx == 0:
             return bx
     return 0
