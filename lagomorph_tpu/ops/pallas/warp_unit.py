@@ -236,40 +236,11 @@ sample_displacement_unit_pallas.defvjp(_sdu_fwd, _sdu_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(BX, Y, Z, C, X,
-                Ipad_ref, gpad_ref, dpad_ref,
-                dI_ref, dD_ref,
-                I_slab, g_slab, d_slab, sems):
-    """Backward of the 27-tap warp for one (n, x-block, channel).
-
-    d_I[v]    = sum_o T_o(w_o * g)[v]   (T_o = per-axis shift-transposes
-                with clamp edge-folds; zero-padded g makes out-of-domain
-                contributions vanish)
-    d_disp[a] = sum_o dw_a(o_a) * prod_{b!=a} w_b(o_b) * g * I_tap_o
-                (I taps identical to the forward kernel, accumulated over
-                the channel grid dimension by output revisiting)
-    """
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    c = pl.program_id(2)
-    YZ = Y * Z
-
-    cp1 = pltpu.make_async_copy(
-        Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], I_slab, sems.at[0]
-    )
-    cp2 = pltpu.make_async_copy(
-        gpad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], g_slab, sems.at[1]
-    )
-    cp3 = pltpu.make_async_copy(
-        dpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], d_slab, sems.at[2]
-    )
-    cp1.start(); cp2.start(); cp3.start()
-    cp3.wait()
-
-    d = d_slab[...]  # (3, BX+16, YZ)
+def _make_ws(d_ref):
+    """Lazy per-axis weight/derivative factories reading from a VMEM ref."""
 
     def w_s(axis, o):
-        da = d[axis]
+        da = d_ref[axis]
         fa = jnp.floor(da)
         ta = da - fa
         if o == -1:
@@ -281,7 +252,7 @@ def _bwd_kernel(BX, Y, Z, C, X,
         return (fa == 0.0).astype(da.dtype) * ta
 
     def dw_s(axis, o):
-        da = d[axis]
+        da = d_ref[axis]
         fa = jnp.floor(da)
         if o == -1:
             return -(fa == -1.0).astype(da.dtype)
@@ -289,12 +260,30 @@ def _bwd_kernel(BX, Y, Z, C, X,
             return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
         return (fa == 0.0).astype(da.dtype)
 
-    slab_shape = (BX + 16, YZ)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 1)
-    y_idx_s = lane_s // Z
-    z_idx_s = lane_s - y_idx_s * Z
-    row_s = jax.lax.broadcasted_iota(jnp.int32, slab_shape, 0)
-    gx_s = row_s + xb * BX - 8  # global x of each slab row
+    return w_s, dw_s
+
+
+def _bwd_dI_kernel(BX, Y, Z, C, X,
+                   gpad_ref, dpad_ref, dI_ref, g_slab, d_slab, sems):
+    """d_I[v] = sum_o T_o(w_o * g)[v]: per-axis shift-transposes of the
+    weighted cotangent with clamp edge-folds.  Zero-padded g makes
+    out-of-domain contributions vanish; one (n, x-block, channel) per grid
+    step keeps the slab working set within scoped VMEM."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    c = pl.program_id(2)
+    YZ = Y * Z
+
+    cp1 = pltpu.make_async_copy(
+        gpad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], g_slab, sems.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        dpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], d_slab, sems.at[1]
+    )
+    cp1.start(); cp2.start()
+    cp1.wait(); cp2.wait()
+
+    w_s, _ = _make_ws(d_slab)
 
     blk_shape = (BX, YZ)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
@@ -303,32 +292,22 @@ def _bwd_kernel(BX, Y, Z, C, X,
     row_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 0)
     gx_b = row_b + xb * BX
 
-    cp2.wait()
-    g_sl = g_slab[...]
-    g_ctr = g_sl[8 : 8 + BX, :]
-
-    # --- d_I: sum over offsets of the transposed weighted stencil ---------
-    acc_dI = jnp.zeros(blk_shape, dtype=d.dtype)
+    acc_dI = jnp.zeros(blk_shape, dtype=g_slab.dtype)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
-                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_sl
-                # x transpose: slab roll by +ox, center slice; zero-padded g
-                # kills out-of-domain reads; edge-fold adds P at the clamped
-                # global boundary rows
+                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_slab[...]
                 Pr = pltpu.roll(P, ox % (BX + 16), 0) if ox != 0 else P
                 A = Pr[8 : 8 + BX, :]
                 if ox != 0:
                     edge = (gx_b == 0) if ox == -1 else (gx_b == X - 1)
                     A = A + jnp.where(edge, P[8 : 8 + BX, :], 0.0)
-                # y transpose on the block
                 if oy != 0:
                     wrap = (y_idx_b == 0) if oy == 1 else (y_idx_b == Y - 1)
                     Ar = pltpu.roll(A, (oy * Z) % YZ, 1)
                     A2 = jnp.where(wrap, 0.0, Ar)
                     edge = (y_idx_b == 0) if oy == -1 else (y_idx_b == Y - 1)
                     A = A2 + jnp.where(edge, A, 0.0)
-                # z transpose on the block
                 if oz != 0:
                     wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
                     Ar = pltpu.roll(A, oz % YZ, 1)
@@ -338,15 +317,50 @@ def _bwd_kernel(BX, Y, Z, C, X,
                 acc_dI = acc_dI + A
     dI_ref[0, 0] = acc_dI
 
-    # --- d_disp: forward-style I taps, weight-derivative contractions -----
-    cp1.wait()
-    I_sl = I_slab[...]
-    # center-block weights/derivatives (output positions), computed lazily
+
+def _bwd_dD_kernel(BX, Y, Z, C, X,
+                   Ipad_ref, d_ref, g_ref, dD_ref, I_slab, sems):
+    """d_disp[a] = sum_o dw_a(o_a) * prod_{b!=a} w_b(o_b) * g * I_tap_o;
+    I taps replay the forward stencil; accumulated over the channel grid
+    dimension by output revisiting."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    c = pl.program_id(2)
+    YZ = Y * Z
+
+    cp = pltpu.make_async_copy(
+        Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], I_slab, sems.at[0]
+    )
+    cp.start()
+
+    dctr = d_ref[0]  # (3, BX, YZ) center-block displacement
+    g_ctr = g_ref[0, 0]  # (BX, YZ)
+
     def wc(axis, o):
-        return w_s(axis, o)[8 : 8 + BX, :]
+        da = dctr[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
 
     def dwc(axis, o):
-        return dw_s(axis, o)[8 : 8 + BX, :]
+        da = dctr[axis]
+        fa = jnp.floor(da)
+        if o == -1:
+            return -(fa == -1.0).astype(da.dtype)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
+        return (fa == 0.0).astype(da.dtype)
+
+    blk_shape = (BX, YZ)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
+    y_idx_b = lane_b // Z
+    z_idx_b = lane_b - y_idx_b * Z
 
     def roll_clamp_b(A, o, step, idx, n_axis):
         if o == 0:
@@ -355,9 +369,14 @@ def _bwd_kernel(BX, Y, Z, C, X,
         edge = idx == (n_axis - 1 if o == 1 else 0)
         return jnp.where(edge, A, rolled)
 
-    acc_d = [jnp.zeros(blk_shape, dtype=d.dtype) for _ in range(3)]
+    cp.wait()
+    acc_d = [jnp.zeros(blk_shape, dtype=g_ctr.dtype) for _ in range(3)]
     for ox in (-1, 0, 1):
-        base = pltpu.roll(I_sl, (-ox) % (BX + 16), 0) if ox != 0 else I_sl
+        base = (
+            pltpu.roll(I_slab[...], (-ox) % (BX + 16), 0)
+            if ox != 0
+            else I_slab[...]
+        )
         base = base[8 : 8 + BX, :]
         for oy in (-1, 0, 1):
             xy = roll_clamp_b(base, oy, Z, y_idx_b, Y)
@@ -386,36 +405,56 @@ def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
     N, C = Ipad.shape[:2]
     BX = _pick_block(X, Y * Z)
     grid = (N, X // BX, C)
-    kernel = partial(_bwd_kernel, BX, Y, Z, C, X)
-    dI, dD = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((N, C, X, Y * Z), Ipad.dtype),
-            jax.ShapeDtypeStruct((N, 3, X, Y * Z), Ipad.dtype),
-        ),
+    YZ = Y * Z
+
+    dI = pl.pallas_call(
+        partial(_bwd_dI_kernel, BX, Y, Z, C, X),
+        out_shape=jax.ShapeDtypeStruct((N, C, X, YZ), Ipad.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=(
+        out_specs=pl.BlockSpec(
+            (1, 1, BX, YZ),
+            lambda n, xb, c: (n, c, xb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BX + 16, YZ), jnp.float32),
+            pltpu.VMEM((3, BX + 16, YZ), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(gpad, dpad)
+
+    # center-block views for the d_disp kernel (no x halo needed)
+    d_ctr = jax.lax.slice_in_dim(dpad, 8, 8 + X, axis=2)
+    g_ctr = jax.lax.slice_in_dim(gpad, 8, 8 + X, axis=2)
+    dD = pl.pallas_call(
+        partial(_bwd_dD_kernel, BX, Y, Z, C, X),
+        out_shape=jax.ShapeDtypeStruct((N, 3, X, YZ), Ipad.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, 1, BX, Y * Z),
-                lambda n, xb, c: (n, c, xb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 3, BX, Y * Z),
+                (1, 3, BX, YZ),
                 lambda n, xb, c: (n, 0, xb, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, 1, BX, YZ),
+                lambda n, xb, c: (n, c, xb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, BX, YZ),
+            lambda n, xb, c: (n, 0, xb, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BX + 16, Y * Z), jnp.float32),
-            pltpu.VMEM((BX + 16, Y * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((BX + 16, YZ), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
-    )(Ipad, gpad, dpad)
+    )(Ipad, d_ctr, g_ctr)
     return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
