@@ -319,43 +319,21 @@ def _bwd_dI_kernel(BX, Y, Z, C, X,
 
 
 def _bwd_dD_kernel(BX, Y, Z, C, X,
-                   Ipad_ref, d_ref, g_ref, dD_ref, I_slab, sems):
-    """d_disp[a] = sum_o dw_a(o_a) * prod_{b!=a} w_b(o_b) * g * I_tap_o;
-    I taps replay the forward stencil; accumulated over the channel grid
-    dimension by output revisiting."""
+                   Ipad_ref, gpad_ref, dpad_ref, dD_ref,
+                   I_slab, g_blk, d_blk, sems):
+    """d_disp[a] = sum_o dw_a(o_a) * prod_{b!=a} w_b(o_b) * g * I_tap_o.
+
+    Grid (N, XB); channels are looped inside the kernel (single-buffered
+    manual DMAs) so the accumulation happens in registers — no output
+    revisiting and a small scoped-VMEM footprint."""
     n = pl.program_id(0)
     xb = pl.program_id(1)
-    c = pl.program_id(2)
     YZ = Y * Z
 
-    cp = pltpu.make_async_copy(
-        Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], I_slab, sems.at[0]
+    cpd = pltpu.make_async_copy(
+        dpad_ref.at[n, :, pl.ds(xb * BX + 8, BX), :], d_blk, sems.at[2]
     )
-    cp.start()
-
-    dctr = d_ref[0]  # (3, BX, YZ) center-block displacement
-    g_ctr = g_ref[0, 0]  # (BX, YZ)
-
-    def wc(axis, o):
-        da = dctr[axis]
-        fa = jnp.floor(da)
-        ta = da - fa
-        if o == -1:
-            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
-        if o == 0:
-            return (fa == -1.0).astype(da.dtype) * ta + (
-                fa == 0.0
-            ).astype(da.dtype) * (1.0 - ta)
-        return (fa == 0.0).astype(da.dtype) * ta
-
-    def dwc(axis, o):
-        da = dctr[axis]
-        fa = jnp.floor(da)
-        if o == -1:
-            return -(fa == -1.0).astype(da.dtype)
-        if o == 0:
-            return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
-        return (fa == 0.0).astype(da.dtype)
+    cpd.start()
 
     blk_shape = (BX, YZ)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
@@ -369,34 +347,58 @@ def _bwd_dD_kernel(BX, Y, Z, C, X,
         edge = idx == (n_axis - 1 if o == 1 else 0)
         return jnp.where(edge, A, rolled)
 
-    cp.wait()
-    acc_d = [jnp.zeros(blk_shape, dtype=g_ctr.dtype) for _ in range(3)]
-    for ox in (-1, 0, 1):
-        base = (
-            pltpu.roll(I_slab[...], (-ox) % (BX + 16), 0)
-            if ox != 0
-            else I_slab[...]
+    cpd.wait()
+
+    def wc(axis, o):
+        da = d_blk[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
+    def dwc(axis, o):
+        da = d_blk[axis]
+        fa = jnp.floor(da)
+        if o == -1:
+            return -(fa == -1.0).astype(da.dtype)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
+        return (fa == 0.0).astype(da.dtype)
+
+    acc_d = [jnp.zeros(blk_shape, dtype=jnp.float32) for _ in range(3)]
+    for c in range(C):
+        cpi = pltpu.make_async_copy(
+            Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), :], I_slab, sems.at[0]
         )
-        base = base[8 : 8 + BX, :]
-        for oy in (-1, 0, 1):
-            xy = roll_clamp_b(base, oy, Z, y_idx_b, Y)
-            for oz in (-1, 0, 1):
-                tap = roll_clamp_b(xy, oz, 1, z_idx_b, Z)
-                gt = g_ctr * tap
-                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
-                acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
-                acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
+        cpg = pltpu.make_async_copy(
+            gpad_ref.at[n, c, pl.ds(xb * BX + 8, BX), :], g_blk, sems.at[1]
+        )
+        cpi.start(); cpg.start()
+        cpi.wait(); cpg.wait()
+        g_ctr = g_blk[...]
+        for ox in (-1, 0, 1):
+            base = (
+                pltpu.roll(I_slab[...], (-ox) % (BX + 16), 0)
+                if ox != 0
+                else I_slab[...]
+            )
+            base = base[8 : 8 + BX, :]
+            for oy in (-1, 0, 1):
+                xy = roll_clamp_b(base, oy, Z, y_idx_b, Y)
+                for oz in (-1, 0, 1):
+                    tap = roll_clamp_b(xy, oz, 1, z_idx_b, Z)
+                    gt = g_ctr * tap
+                    wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                    acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
+                    acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
+                    acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
 
-    contrib = jnp.stack(acc_d, axis=0)  # (3, BX, YZ)
-
-    @pl.when(c == 0)
-    def _():
-        dD_ref[0] = contrib
-
-    @pl.when(c != 0)
-    def _():
-        dD_ref[0] = dD_ref[0] + contrib
+    dD_ref[0] = jnp.stack(acc_d, axis=0)
 
 
 def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
@@ -427,34 +429,25 @@ def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
         ],
     )(gpad, dpad)
 
-    # center-block views for the d_disp kernel (no x halo needed)
-    d_ctr = jax.lax.slice_in_dim(dpad, 8, 8 + X, axis=2)
-    g_ctr = jax.lax.slice_in_dim(gpad, 8, 8 + X, axis=2)
     dD = pl.pallas_call(
         partial(_bwd_dD_kernel, BX, Y, Z, C, X),
         out_shape=jax.ShapeDtypeStruct((N, 3, X, YZ), Ipad.dtype),
-        grid=grid,
+        grid=(N, X // BX),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, 3, BX, YZ),
-                lambda n, xb, c: (n, 0, xb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, BX, YZ),
-                lambda n, xb, c: (n, c, xb, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, BX, YZ),
-            lambda n, xb, c: (n, 0, xb, 0),
+            lambda n, xb: (n, 0, xb, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((BX + 16, YZ), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((BX, YZ), jnp.float32),
+            pltpu.VMEM((3, BX, YZ), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-    )(Ipad, d_ctr, g_ctr)
+    )(Ipad, gpad, dpad)
     return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
