@@ -73,6 +73,11 @@ def supported(I_shape, disp_shape, dtype) -> bool:
         return False
     if (Y * Z) % 128 != 0:
         return False
+    if Y * Z > 8192:
+        # slab working sets exceed scoped VMEM beyond this lane extent; a
+        # Y-blocked kernel variant (lane-aligned y-halos, Z % 128 == 0) is
+        # the planned lift — see CLAUDE.md roadmap
+        return False
     C = I_shape[1]
     bx = _pick_block(X, Y * Z)
     vmem = (C * (bx + 16) + 3 * bx + 4 * C * bx) * Y * Z * 4
