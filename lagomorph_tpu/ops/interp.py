@@ -91,7 +91,7 @@ def interp_auto(
     # qualifies, else the XLA 27-tap stencil
     from .pallas import warp_unit as _wu
 
-    if _wu.supported(Ib.shape, d.shape, d.dtype):
+    if _wu.fastpath_supported(Ib.shape, d.shape, d.dtype):
         unit_impl = _wu.sample_displacement_unit_pallas
     else:
         unit_impl = sample_displacement_unit

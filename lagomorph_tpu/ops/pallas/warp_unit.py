@@ -197,10 +197,17 @@ def sample_displacement_unit_pallas(I, disp):
 def _sdu_fwd(I, disp):
     N = disp.shape[0]
     Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if I.shape[0] == 1 and N > 1 else I
-    # pad X by 8 on each side so every DMA slab is sublane-aligned; Y/Z
-    # taps are lane rolls with edge fixes
-    Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
-    out = _warp_unit_fwd_pallas(Ipad, disp)
+    shp = (N,) + I.shape[1:]
+    if supported(shp, disp.shape, disp.dtype):
+        # whole-Y path: pad X by 8 per side (sublane-aligned DMA slabs)
+        Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
+        out = _warp_unit_fwd_pallas(Ipad, disp)
+    else:
+        # y-blocked path: additional 1-voxel y halo pad
+        Ipad = jnp.pad(
+            Ib, [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)], mode="edge"
+        )
+        out = _warp_unit_fwd_yb(Ipad, disp)
     return out, (I, disp)
 
 
@@ -209,10 +216,9 @@ def _sdu_bwd(res, g):
     N = disp.shape[0]
     X, Y, Z = disp.shape[2:]
     broadcasting = I.shape[0] == 1 and N > 1
-    if supported(
-        ((N,) + I.shape[1:]), disp.shape, disp.dtype
-    ):
-        Ib = jnp.broadcast_to(I, (N,) + I.shape[1:]) if broadcasting else I
+    shp = (N,) + I.shape[1:]
+    if supported(shp, disp.shape, disp.dtype):
+        Ib = jnp.broadcast_to(I, shp) if broadcasting else I
         Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
         zpad = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
         gpad = jnp.pad(g, zpad)  # zero pad
@@ -221,6 +227,22 @@ def _sdu_bwd(res, g):
             Ipad.reshape(N, -1, X + 16, Y * Z),
             gpad.reshape(N, -1, X + 16, Y * Z),
             dpad.reshape(N, 3, X + 16, Y * Z),
+            X, Y, Z,
+        )
+        if broadcasting:
+            d_I = jnp.sum(d_I, axis=0, keepdims=True)
+        return d_I, d_disp
+    if yblocked_supported(shp, disp.shape, disp.dtype):
+        Ib = jnp.broadcast_to(I, shp) if broadcasting else I
+        epad = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
+        Ipad = jnp.pad(Ib, epad, mode="edge")
+        gpad = jnp.pad(g, epad)  # zero pad
+        dpad = jnp.pad(disp, epad)
+        YL = (Y + 2) * Z
+        d_I, d_disp = _warp_unit_bwd_yb(
+            Ipad.reshape(N, -1, X + 16, YL),
+            gpad.reshape(N, -1, X + 16, YL),
+            dpad.reshape(N, 3, X + 16, YL),
             X, Y, Z,
         )
         if broadcasting:
@@ -456,3 +478,351 @@ def _warp_unit_bwd_pallas(Ipad, gpad, dpad, X, Y, Z):
         ],
     )(Ipad, gpad, dpad)
     return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
+
+
+# ---------------------------------------------------------------------------
+# Y-blocked kernel variants (for lane extents beyond scoped VMEM; require
+# Z % 128 == 0 so y-halo windows stay lane-aligned)
+# ---------------------------------------------------------------------------
+
+
+def _pick_by(Y: int, Z: int) -> int:
+    # keep the window (BY+2)*Z lanes around 4-8K lanes
+    for by in (32, 16, 64, 8, 4, 2):
+        if Y % by == 0 and (by + 2) * Z <= 10240:
+            return by
+    return 0
+
+
+def yblocked_supported(I_shape, disp_shape, dtype) -> bool:
+    if not pallas_warp_enabled():
+        return False
+    if dtype != jnp.float32:
+        return False
+    if len(disp_shape) != 5 or disp_shape[1] != 3:
+        return False
+    X, Y, Z = disp_shape[2:]
+    return (
+        Z % 128 == 0
+        and _pick_block(X) != 0
+        and _pick_by(Y, Z) != 0
+    )
+
+
+def _fwd_kernel_yb(BX, BY, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
+    """Forward warp, y-blocked: I window carries x- and y-halos (edge pad),
+    y-taps are window lane-rolls by Z followed by an aligned center slice,
+    z-taps lane rolls by 1 with z-edge masks."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    WL = (BY + 2) * Z  # window lanes
+    BL = BY * Z        # center lanes
+
+    cp = pltpu.make_async_copy(
+        Ipad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        scratch, sem,
+    )
+    cp.start()
+    d = disp_ref[0]  # (3, BX, BL)
+
+    def w(axis, o):
+        da = d[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
+    cp.wait()
+
+    shape = (C, BX, BL)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    z_idx = lane % Z
+
+    def ztap(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 2)
+        edge = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    slab = scratch[...]
+    acc = jnp.zeros(shape, dtype=d.dtype)
+    for ox in (-1, 0, 1):
+        rx = pltpu.roll(slab, (-ox) % (BX + 16), 1) if ox != 0 else slab
+        bx_rows = rx[:, 8 : 8 + BX, :]
+        wx = w(0, ox)
+        for oy in (-1, 0, 1):
+            ry = (
+                pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
+            )
+            ctr = ry[:, :, Z : Z + BL]
+            wxy = wx * w(1, oy)
+            for oz in (-1, 0, 1):
+                tap = ztap(ctr, oz)
+                acc = acc + (wxy * w(2, oz))[None] * tap
+    out_ref[0] = acc
+
+
+def _warp_unit_fwd_yb(Ipad, disp):
+    """Ipad: (N, C, X+16, Y+2, Z) x/y-edge-padded; disp: (N, 3, X, Y, Z)."""
+    N, C = Ipad.shape[:2]
+    X, Y, Z = disp.shape[2:]
+    BX = _pick_block(X)
+    BY = _pick_by(Y, Z)
+    BL = BY * Z
+    grid = (N, X // BX, Y // BY)
+    Ipad_f = Ipad.reshape(N, C, X + 16, (Y + 2) * Z)
+    disp_f = disp.reshape(N, 3, X, Y * Z)
+    out = pl.pallas_call(
+        partial(_fwd_kernel_yb, BX, BY, Y, Z, C),
+        out_shape=jax.ShapeDtypeStruct((N, C, X, Y * Z), Ipad.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, 3, BX, BL),
+                lambda n, xb, yb: (n, 0, xb, yb),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, BX, BL),
+            lambda n, xb, yb: (n, 0, xb, yb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(Ipad_f, disp_f)
+    return out.reshape(N, C, X, Y, Z)
+
+
+def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
+                      gpad_ref, dpad_ref, dI_ref, g_slab, d_slab, sems):
+    """Y-blocked d_I: transposed weighted stencil over an x/y-haloed window
+    of zero-padded (w_o * g)."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    c = pl.program_id(3)
+    WL = (BY + 2) * Z
+    BL = BY * Z
+
+    cp1 = pltpu.make_async_copy(
+        gpad_ref.at[n, c, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        g_slab, sems.at[0],
+    )
+    cp2 = pltpu.make_async_copy(
+        dpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        d_slab, sems.at[1],
+    )
+    cp1.start(); cp2.start()
+    cp1.wait(); cp2.wait()
+
+    def w_s(axis, o):
+        da = d_slab[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
+    blk_shape = (BX, BL)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
+    gy_b = lane_b // Z + yb * BY  # global y of center lanes
+    z_idx_b = lane_b % Z
+    row_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 0)
+    gx_b = row_b + xb * BX
+
+    # x-edge mask broadcast across the window lanes
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (BX, WL), 0)
+    gx_w = row_w + xb * BX
+
+    acc_dI = jnp.zeros(blk_shape, dtype=jnp.float32)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_slab[...]
+                # x transpose on the window (core shift + clamp edge fold)
+                Pr = pltpu.roll(P, ox % (BX + 16), 0) if ox != 0 else P
+                Bw = Pr[8 : 8 + BX, :]  # (BX, WL)
+                if ox != 0:
+                    xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
+                    Bw = Bw + jnp.where(xedge, P[8 : 8 + BX, :], 0.0)
+                # y transpose: window roll by +oy*Z, center slice (zero pad
+                # swallows out-of-domain; wraps land outside the center)
+                Ar = pltpu.roll(Bw, (oy * Z) % WL, 1) if oy != 0 else Bw
+                A = Ar[:, Z : Z + BL]
+                if oy != 0:
+                    yedge = (gy_b == 0) if oy == -1 else (gy_b == Y - 1)
+                    A = A + jnp.where(yedge, Bw[:, Z : Z + BL], 0.0)
+                # z transpose on the center block
+                if oz != 0:
+                    wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
+                    Az = pltpu.roll(A, oz % BL, 1)
+                    A2 = jnp.where(wrap, 0.0, Az)
+                    zedge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
+                    A = A2 + jnp.where(zedge, A, 0.0)
+                acc_dI = acc_dI + A
+    dI_ref[0, 0] = acc_dI
+
+
+def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
+                      Ipad_ref, gpad_ref, dpad_ref, dD_ref,
+                      I_slab, g_blk, d_blk, sems):
+    """Y-blocked d_disp: forward-style taps from the x/y-haloed edge-padded
+    I window; channel loop inside the kernel."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    WL = (BY + 2) * Z
+    BL = BY * Z
+
+    cpd = pltpu.make_async_copy(
+        dpad_ref.at[n, :, pl.ds(xb * BX + 8, BX), pl.ds(yb * BL + Z, BL)],
+        d_blk, sems.at[2],
+    )
+    cpd.start()
+
+    blk_shape = (BX, BL)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
+    z_idx_b = lane_b % Z
+
+    def ztap(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 1)
+        edge = z_idx_b == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    cpd.wait()
+
+    def wc(axis, o):
+        da = d_blk[axis]
+        fa = jnp.floor(da)
+        ta = da - fa
+        if o == -1:
+            return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) * ta + (
+                fa == 0.0
+            ).astype(da.dtype) * (1.0 - ta)
+        return (fa == 0.0).astype(da.dtype) * ta
+
+    def dwc(axis, o):
+        da = d_blk[axis]
+        fa = jnp.floor(da)
+        if o == -1:
+            return -(fa == -1.0).astype(da.dtype)
+        if o == 0:
+            return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
+        return (fa == 0.0).astype(da.dtype)
+
+    acc_d = [jnp.zeros(blk_shape, dtype=jnp.float32) for _ in range(3)]
+    for c in range(C):
+        cpi = pltpu.make_async_copy(
+            Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+            I_slab, sems.at[0],
+        )
+        cpg = pltpu.make_async_copy(
+            gpad_ref.at[n, c, pl.ds(xb * BX + 8, BX), pl.ds(yb * BL + Z, BL)],
+            g_blk, sems.at[1],
+        )
+        cpi.start(); cpg.start()
+        cpi.wait(); cpg.wait()
+        g_ctr = g_blk[...]
+        for ox in (-1, 0, 1):
+            rx = (
+                pltpu.roll(I_slab[...], (-ox) % (BX + 16), 0)
+                if ox != 0
+                else I_slab[...]
+            )
+            bx_rows = rx[8 : 8 + BX, :]  # (BX, WL)
+            for oy in (-1, 0, 1):
+                ry = (
+                    pltpu.roll(bx_rows, (-oy * Z) % WL, 1)
+                    if oy != 0
+                    else bx_rows
+                )
+                ctr = ry[:, Z : Z + BL]
+                for oz in (-1, 0, 1):
+                    tap = ztap(ctr, oz)
+                    gt = g_ctr * tap
+                    wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                    acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
+                    acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
+                    acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
+
+    dD_ref[0] = jnp.stack(acc_d, axis=0)
+
+
+def _warp_unit_bwd_yb(Ipad, gpad, dpad, X, Y, Z):
+    """Y-blocked backward.  Ipad: (N,C,X+16,(Y+2)Z) edge-padded; gpad/dpad
+    zero-padded in x (8) and y (1)."""
+    N, C = Ipad.shape[:2]
+    BX = _pick_block(X)
+    BY = _pick_by(Y, Z)
+    BL = BY * Z
+    WL = (BY + 2) * Z
+    YZ = Y * Z
+
+    dI = pl.pallas_call(
+        partial(_bwd_dI_kernel_yb, BX, BY, Y, Z, C, X),
+        out_shape=jax.ShapeDtypeStruct((N, C, X, YZ), Ipad.dtype),
+        grid=(N, X // BX, Y // BY, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BX, BL),
+            lambda n, xb, yb, c: (n, c, xb, yb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BX + 16, WL), jnp.float32),
+            pltpu.VMEM((3, BX + 16, WL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(gpad, dpad)
+
+    dD = pl.pallas_call(
+        partial(_bwd_dD_kernel_yb, BX, BY, Y, Z, C, X),
+        out_shape=jax.ShapeDtypeStruct((N, 3, X, YZ), Ipad.dtype),
+        grid=(N, X // BX, Y // BY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, BX, BL),
+            lambda n, xb, yb: (n, 0, xb, yb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BX + 16, WL), jnp.float32),
+            pltpu.VMEM((BX, BL), jnp.float32),
+            pltpu.VMEM((3, BX, BL), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(Ipad, gpad, dpad)
+    return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
+
+
+def fastpath_supported(I_shape, disp_shape, dtype) -> bool:
+    """True when either the whole-Y or the y-blocked kernel path applies."""
+    return supported(I_shape, disp_shape, dtype) or yblocked_supported(
+        I_shape, disp_shape, dtype
+    )
