@@ -55,11 +55,14 @@ def ad_star(v, m):
     ) - jacobian_times_vectorfield_adjoint(m, v)
 
 
-def Ad_star(phiinv, m):
+def Ad_star(phiinv, m, mode=None):
     r"""Big coadjoint action :math:`\mathrm{Ad}^*(\varphi, m)(x) =
     (D\varphi(x))\, m(\varphi(x))` with :math:`\varphi` given by the
-    displacement ``phiinv`` (reference adjrep.py:86-97)."""
-    mphiinv = interp_auto(m, phiinv)
+    displacement ``phiinv`` (reference adjrep.py:86-97).
+
+    ``mode`` statically forces the warp tier (the transport displacement is
+    ``phiinv``, bounded by the total integration time in voxels)."""
+    mphiinv = interp_auto(m, phiinv, mode=mode)
     return jacobian_times_vectorfield(phiinv, mphiinv, displacement=True)
 
 

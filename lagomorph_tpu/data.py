@@ -364,6 +364,12 @@ class CachedDataLoader:
         for f in self.filenames:
             yield np.load(f)
 
+    def __getitem__(self, i):
+        # direct indexed access — one file read per batch (the per-batch
+        # .npy layout makes the cache random-access, unlike the reference's
+        # replay-only loader)
+        return np.load(self.filenames[i])
+
 
 def batch_average(batches, dim=0, progress_bar=True):
     """Streaming average over minibatches along ``dim`` in float64 (reference

@@ -36,23 +36,24 @@ def identity(defshape, dtype=np.float32):
     return jnp.broadcast_to(grid[None], (defshape[0], dim) + spatial)
 
 
-def compose(u, v, ds=1.0, dt=1.0):
+def compose(u, v, ds=1.0, dt=1.0, mode=None):
     """Return ``ds*u(x) + dt*v(x + ds*u(x))`` (reference deform.py:53-55).
 
     Uses the automatic unit-displacement fast path: in EPDiff integration
     the inner warp's displacement is one Euler sub-step (|ds*u| < 1 voxel
     for any stable step size), where the warp is a dense stencil instead of
-    a gather."""
-    return ds * u + dt * interp_auto(v, u, dt=ds)
+    a gather.  ``mode`` statically forces a tier (see
+    :func:`lagomorph_tpu.ops.interp.interp_auto`)."""
+    return ds * u + dt * interp_auto(v, u, dt=ds, mode=mode)
 
 
-def compose_disp_vel(u, v, dt=1.0):
+def compose_disp_vel(u, v, dt=1.0, mode=None):
     """Displacement-then-velocity composition: ``dt*v(x) + u(x + dt*v(x))``
     (reference deform.py:58-62)."""
-    return compose(v, u, ds=dt, dt=1.0)
+    return compose(v, u, ds=dt, dt=1.0, mode=mode)
 
 
-def compose_vel_disp(v, u, dt=1.0):
+def compose_vel_disp(v, u, dt=1.0, mode=None):
     """Velocity-then-displacement composition: ``u(x) + dt*v(x + u(x))``
     (reference deform.py:65-70)."""
-    return compose(u, v, ds=1.0, dt=dt)
+    return compose(u, v, ds=1.0, dt=dt, mode=mode)

@@ -35,15 +35,21 @@ __all__ = [
 ]
 
 
-def EPDiff_step(metric, m0, dt, phiinv, mommask=None):
+def EPDiff_step(metric, m0, dt, phiinv, mommask=None,
+                transport_mode=None, compose_mode=None):
     """One step of EPDiff in integrated (deformation) form: transport the
     initial momentum with ``Ad^*``, sharp to a velocity, and compose into
-    the inverse deformation (reference lddmm.py:39-44)."""
-    m = adjrep.Ad_star(phiinv, m0)
+    the inverse deformation (reference lddmm.py:39-44).
+
+    ``transport_mode``/``compose_mode`` statically force the warp tier of
+    the Ad* transport warp (displacement ``phiinv``) and the composition
+    warp (displacement one Euler sub-step, always unit for stable
+    integration); None = runtime auto-tiering."""
+    m = adjrep.Ad_star(phiinv, m0, mode=transport_mode)
     if mommask is not None:
         m = m * mommask
     v = metric.sharp(m)
-    return deform.compose_disp_vel(phiinv, v, dt=-dt)
+    return deform.compose_disp_vel(phiinv, v, dt=-dt, mode=compose_mode)
 
 
 def expmap(
@@ -54,6 +60,8 @@ def expmap(
     phiinv=None,
     mommask=None,
     checkpoints=False,
+    transport_mode=None,
+    compose_mode=None,
 ):
     """Geodesic shooting: given initial momentum ``m0`` compute the inverse
     deformation ``phi^{-1}`` at time ``T`` (reference lddmm.py:73-105).
@@ -61,13 +69,21 @@ def expmap(
     ``checkpoints``: if truthy, wrap each integration step in
     ``jax.checkpoint`` so the backward pass rematerializes instead of
     storing all intermediates — O(1) memory in the number of steps.
+
+    ``transport_mode``/``compose_mode``: static warp-tier overrides (see
+    :func:`EPDiff_step`); with a stable step size ``compose_mode="unit"`` is
+    always valid, and ``transport_mode="bounded"`` is valid whenever the
+    total deformation stays within the tier radius (2 voxels).
     """
     if phiinv is None:
         phiinv = jnp.zeros_like(m0)
     dt = T / num_steps
 
     def step(phiinv, _):
-        return EPDiff_step(metric, m0, dt, phiinv, mommask=mommask), None
+        return EPDiff_step(
+            metric, m0, dt, phiinv, mommask=mommask,
+            transport_mode=transport_mode, compose_mode=compose_mode,
+        ), None
 
     if checkpoints:
         step = jax.checkpoint(step)
@@ -112,25 +128,6 @@ def expmap_advect(metric, m, T=1.0, num_steps=10, phiinv=None):
 # ---------------------------------------------------------------------------
 # Atlas building
 # ---------------------------------------------------------------------------
-
-
-class _IndexableLoader:
-    """Random-access adapter over a replayable batch iterable."""
-
-    def __init__(self, loader):
-        self._loader = loader
-
-    def __len__(self):
-        return len(self._loader)
-
-    def __iter__(self):
-        return iter(self._loader)
-
-    def __getitem__(self, i):
-        for j, b in enumerate(self._loader):
-            if j == i:
-                return b
-        raise IndexError(i)
 
 
 def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
@@ -353,10 +350,43 @@ class LDDMMAtlasBuilder:
             self._initialized = True
 
     def _init_batches(self):
+        import jax as _jax
+
         from .data import batch_iterator, dataset_length
 
-        self._num_examples = dataset_length(self.dataset)
-        it = batch_iterator(self.dataset, self.batch_size, dtype=self.dtype)
+        # multi-process data parallelism: each process owns an interleaved
+        # shard of the subjects (the DistributedSampler analogue, reference
+        # lddmm.py:164-168); batch_size is per-process like the reference's
+        # per-rank loaders
+        self._world = _jax.process_count()
+        self._rank = _jax.process_index()
+        n_total = dataset_length(self.dataset)
+        self._num_examples = n_total  # global count (loss normalization)
+        if self._world > 1:
+            from .parallel import process_shard_indices, shard_sizes
+
+            indices = process_shard_indices(n_total, self._world, self._rank)
+            # iteration counts must agree across processes: a process whose
+            # shard runs out feeds all-masked dummy batches
+            per_proc = shard_sizes(n_total, self._world)
+            nb = [-(-s // self.batch_size) if s else 0 for s in per_proc]
+            self._n_iters = max(nb)
+            # global real-subject count at each iteration (deterministic on
+            # every process — no communication needed)
+            self._global_real = [
+                sum(
+                    max(0, min(self.batch_size, per_proc[p] - i * self.batch_size))
+                    for p in range(self._world)
+                )
+                for i in range(self._n_iters)
+            ]
+        else:
+            indices = None
+            self._n_iters = None  # set after batches are materialized
+            self._global_real = None
+        it = batch_iterator(
+            self.dataset, self.batch_size, dtype=self.dtype, indices=indices
+        )
         if self.dataloader_cache is not None:
             # disk-backed minibatch cache with native readahead when the C++
             # toolchain is available (reference --dataloader_cache,
@@ -371,19 +401,38 @@ class LDDMMAtlasBuilder:
             except Exception:
                 from .data import CachedDataLoader
 
-                cdl = CachedDataLoader(
+                # CachedDataLoader is random-access (one .npy per batch)
+                self._batches = CachedDataLoader(
                     it, cache_dir=self.dataloader_cache,
                     progress_bar=self.progress_bar,
                 )
-                self._batches = _IndexableLoader(cdl)
         else:
             self._batches = list(it)
+        if self._n_iters is None:
+            self._n_iters = len(self._batches)
 
     def _init_atlas_image(self):
         from .data import batch_average
 
         if self.I0 is None:
-            I0 = batch_average(self._batches, progress_bar=self.progress_bar)
+            if self._world > 1:
+                # global mean over all processes' shards (replaces the
+                # reference's all_reduce(I0)/world_size, lddmm.py:196-198)
+                from .parallel import allsum_hosts
+
+                lsum = None
+                count = 0
+                for b in self._batches:
+                    b = np.asarray(b)
+                    s = b.astype(np.float64).sum(axis=0)
+                    lsum = s if lsum is None else lsum + s
+                    count += b.shape[0]
+                tot = allsum_hosts(
+                    np.concatenate([lsum.ravel(), [np.float64(count)]])
+                )
+                I0 = (tot[:-1] / tot[-1]).reshape(lsum.shape).astype(self.dtype)
+            else:
+                I0 = batch_average(self._batches, progress_bar=self.progress_bar)
         else:
             I0 = np.asarray(self.I0, dtype=self.dtype)
         # shape to (1, 1, *spatial) like reference (lddmm.py:205)
@@ -440,12 +489,32 @@ class LDDMMAtlasBuilder:
                 out_shardings=(batch_s, repl_s, repl_s, repl_s),
                 donate_argnums=(1,),
             )
-            self._put = lambda x: jax.device_put(np.asarray(x), batch_s)
-            self._pad_multiple = int(self.mesh.devices.size)
+            if self._world > 1:
+                # assemble process-local rows into one global batch-sharded
+                # array; each process pads its local batch to a fixed row
+                # count so global shapes agree across processes
+                from .parallel import put_global
+
+                self._put = lambda x: put_global(np.asarray(x), batch_s)
+                self._pad_multiple = int(jax.local_device_count())
+            else:
+                self._put = lambda x: jax.device_put(np.asarray(x), batch_s)
+                self._pad_multiple = int(self.mesh.devices.size)
         else:
+            if self._world > 1:
+                raise ValueError(
+                    "multi-process training requires a mesh over the global "
+                    "devices (pass mesh=get_mesh())"
+                )
             self._step = jax.jit(step, donate_argnums=(1,))
             self._put = jnp.asarray
             self._pad_multiple = 1
+        # fixed per-process staged rows in multi-process mode
+        self._local_rows = (
+            -(-self.batch_size // self._pad_multiple) * self._pad_multiple
+            if self._world > 1
+            else None
+        )
 
         def image_update(I, g, n):
             return I - self.learning_rate_image * (g / n)
@@ -534,18 +603,39 @@ class LDDMMAtlasBuilder:
         """
         from .parallel import pad_batch_to_multiple
 
+        def pad_rows(x):
+            """Pad the local batch: to the device multiple (single-process)
+            or to the fixed per-process row count (multi-process, so the
+            assembled global shape is identical on every process)."""
+            if self._local_rows is None:
+                return pad_batch_to_multiple(x, self._pad_multiple)[0]
+            n, rows = x.shape[0], self._local_rows
+            if n == rows:
+                return x
+            pad = np.zeros((rows - n,) + x.shape[1:], dtype=x.dtype)
+            return np.concatenate([x, pad], axis=0)
+
+        def host_batch(i):
+            """(img, m) local host arrays; all-dummy when this process's
+            shard has fewer batches than the global iteration count."""
+            if i < len(self._batches):
+                return np.asarray(self._batches[i]), np.asarray(self.ms[i])
+            sp = tuple(self.I.shape[2:])
+            dim = len(sp)
+            img = np.zeros((0, self.I.shape[1]) + sp, dtype=self.dtype)
+            m = np.zeros((0, dim) + self.momentum_shape, dtype=self.dtype)
+            return img, m
+
         if self.keep_data_on_device:
             if not hasattr(self, "_dev_cache"):
                 self._dev_cache = {}
             if batch_index not in self._dev_cache:
-                img_np = np.asarray(self._batches[batch_index])
+                img_np, m_np = host_batch(batch_index)
                 n_real = img_np.shape[0]
-                img_np, _ = pad_batch_to_multiple(img_np, self._pad_multiple)
+                img_np = pad_rows(img_np)
                 mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
                 mask[:n_real] = 1.0
-                m_np, _ = pad_batch_to_multiple(
-                    np.asarray(self.ms[batch_index]), self._pad_multiple
-                )
+                m_np = pad_rows(m_np)
                 self._dev_cache[batch_index] = [
                     self._put(img_np),
                     self._put(m_np),
@@ -553,49 +643,101 @@ class LDDMMAtlasBuilder:
                     n_real,
                 ]
                 # momenta now live on device; ms[i] aliases the device array
-                self.ms[batch_index] = self._dev_cache[batch_index][1]
+                if batch_index < len(self.ms):
+                    self.ms[batch_index] = self._dev_cache[batch_index][1]
             img, m, mask, n_real = self._dev_cache[batch_index]
-            return img, self.ms[batch_index], mask, n_real
+            if batch_index < len(self.ms):
+                m = self.ms[batch_index]
+            return img, m, mask, n_real
 
-        img_np = np.asarray(self._batches[batch_index])
-        m_np = np.asarray(self.ms[batch_index])
+        img_np, m_np = host_batch(batch_index)
         n_real = img_np.shape[0]
-        img_np, _ = pad_batch_to_multiple(img_np, self._pad_multiple)
-        m_np, _ = pad_batch_to_multiple(m_np, self._pad_multiple)
+        img_np = pad_rows(img_np)
+        m_np = pad_rows(m_np)
         mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
         mask[:n_real] = 1.0
         return self._put(img_np), self._put(m_np), self._put(mask), n_real
 
-    def iteration(self, batch_index):
-        img, m, mask, n_real = self._staged(batch_index)
+    def _stage_async(self, batch_index):
+        """Submit host staging of a batch to the loader pool (returns a
+        Future), so the next batch's disk read and host->device transfer
+        overlap the current step's compute.  Returns None when prefetching
+        is disabled (``loader_workers == 0``) or unnecessary
+        (``keep_data_on_device``)."""
+        if not self.loader_workers or self.keep_data_on_device:
+            return None
+        if getattr(self, "_stage_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._stage_pool = ThreadPoolExecutor(
+                max_workers=int(self.loader_workers)
+            )
+        return self._stage_pool.submit(self._staged, batch_index)
+
+    def iteration(self, batch_index, staged=None):
+        img, m, mask, n_real = (
+            staged if staged is not None else self._staged(batch_index)
+        )
         m, gI, loss, reg = self._step(self.I, m, img, mask)
+        real_batch = batch_index < len(self.ms)
         if self.keep_data_on_device:
-            self.ms[batch_index] = m  # stays on device (input was donated)
+            if real_batch:
+                self.ms[batch_index] = m  # stays on device (donated input)
             self._dev_cache[batch_index][1] = m
-        else:
-            self.ms[batch_index] = np.asarray(m)[:n_real]
+        elif real_batch:
+            if self._world > 1:
+                from .parallel import local_shard
+
+                self.ms[batch_index] = local_shard(m)[:n_real]
+            else:
+                self.ms[batch_index] = np.asarray(m)[:n_real]
         self._image_grad_accum = self._image_grad_accum + gI
         self._image_iters += 1
         if self.image_update_freq > 0:
             self.update_base_image()
-        norm = n_real / self._num_examples
+        # loss/reg come back normalized over the iteration's global real
+        # subject count; scale so the epoch sum equals whole-dataset MSE
+        # (reference lddmm.py:316-320)
+        n_global = (
+            self._global_real[batch_index]
+            if self._global_real is not None
+            else n_real
+        )
+        norm = n_global / self._num_examples
         return float(loss) * norm, float(reg) * norm
 
     def epoch(self):
         epoch_loss = 0.0
         epoch_reg_term = 0.0
-        it = range(len(self._batches))
+        n_batches = self._n_iters
+        it = range(n_batches)
         if self.progress_bar:
             it = tqdm(it, desc="iter")
+        prefetched = None
         for self._iteration, bi in enumerate(it):
-            iter_loss, iter_reg = self.iteration(bi)
+            staged = (
+                prefetched.result() if prefetched is not None else None
+            )
+            # queue the next batch's staging before blocking on this step
+            prefetched = (
+                self._stage_async(bi + 1) if bi + 1 < n_batches else None
+            )
+            iter_loss, iter_reg = self.iteration(bi, staged=staged)
             self.iter_losses.append(iter_loss)
             self.iter_reg_terms.append(iter_reg)
             epoch_loss += iter_loss
             epoch_reg_term += iter_reg
         self.update_base_image(force=True)
         if self.checkpoint_format is not None:
-            self.save(self.checkpoint_format.format(epoch=self._epoch))
+            # checkpoints are per-rank (momenta are rank-local, like the
+            # reference's {rank}-formatted outputs, lddmm.py:534-539); with
+            # no {rank} placeholder only rank 0 writes to avoid a file race
+            if self._world == 1 or "{rank}" in self.checkpoint_format or self._rank == 0:
+                self.save(
+                    self.checkpoint_format.format(
+                        epoch=self._epoch, rank=self._rank
+                    )
+                )
         return epoch_loss, epoch_reg_term
 
     def run(self):
@@ -645,6 +787,21 @@ class _Tool(Tool):
             default=None,
             type=str,
             help="Format for HDF5 checkpoints, with {epoch} placeholder",
+        )
+        dg.add_argument(
+            "--loader_workers",
+            default=1,
+            type=int,
+            help="Host staging threads prefetching the next minibatch "
+            "(disk read + host->device transfer) while the current step "
+            "computes; 0 disables prefetching",
+        )
+        dg.add_argument(
+            "--dataloader_cache",
+            default=None,
+            type=str,
+            help="Directory in which to cache minibatches for faster "
+            "dataloading after the first pass",
         )
         ag = parser.add_argument_group("algorithm parameters")
         ag.add_argument(
@@ -742,6 +899,8 @@ class _Tool(Tool):
             checkpoint_format=args.checkpoint,
             gradient_checkpointing=args.gradient_checkpointing,
             keep_data_on_device=args.keep_data_on_device,
+            loader_workers=args.loader_workers,
+            dataloader_cache=args.dataloader_cache,
             metric=metric,
             learning_rate_pose=args.learning_rate_m,
             learning_rate_image=args.learning_rate_I,
@@ -754,6 +913,10 @@ class _Tool(Tool):
 
         builder.run()
 
+        # per-rank outputs (momenta are rank-local, reference lddmm.py:539);
+        # without a {rank} placeholder only rank 0 writes
+        if self.world_size > 1 and "{rank}" not in args.output and self.rank != 0:
+            return
         args.output = args.output.format(rank=self.rank)
         builder.save(args.output)
 

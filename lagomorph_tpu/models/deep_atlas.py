@@ -117,21 +117,25 @@ class DeepLDDMMAtlas:
         rw = reg_weight
         net_ = self.net
 
-        def loss_fn(params, I, img):
+        def loss_fn(params, I, img, mask):
+            # mask: (B,) 0/1 weights so batches padded up to a mesh-divisible
+            # size contribute nothing (all-ones mask == the unpadded loss)
             m = net_.apply(params, img)
             h = expmap(metric_, m, num_steps=steps_)
             Idef = interp(I, h)
             v = metric_.sharp(m)
-            reg = rw * jnp.sum(v * m) / img.size
-            return jnp.sum((Idef - img) ** 2) / img.size + reg
+            sq = jnp.sum((Idef - img) ** 2, axis=tuple(range(1, img.ndim)))
+            vm = jnp.sum(v * m, axis=tuple(range(1, m.ndim)))
+            numel = jnp.sum(mask) * float(np.prod(img.shape[1:]))
+            return jnp.sum(sq * mask) / numel + rw * jnp.sum(vm * mask) / numel
 
-        def train_step(params, opt_state, I, img):
+        def train_step(params, opt_state, I, img, mask):
             loss, (gp, gI) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                params, I, img
+                params, I, img, mask
             )
             updates, opt_state = self.tx.update(gp, opt_state, params)
             params = optax.apply_updates(params, updates)
-            I = I - self.lr_I * gI / img.shape[0]
+            I = I - self.lr_I * gI / jnp.sum(mask)
             return params, opt_state, I, loss
 
         if mesh is not None:
@@ -139,12 +143,14 @@ class DeepLDDMMAtlas:
 
             bs_ = data_sharding(mesh)
             rs_ = replicated_sharding(mesh)
+            self._pad_multiple = int(mesh.devices.size)
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(rs_, rs_, rs_, bs_),
+                in_shardings=(rs_, rs_, rs_, bs_, bs_),
                 out_shardings=(rs_, rs_, rs_, rs_),
             )
         else:
+            self._pad_multiple = 1
             self._train_step = jax.jit(train_step)
 
     def fit(self, num_epochs=10):
@@ -154,11 +160,17 @@ class DeepLDDMMAtlas:
         for _ in epbar:
             total = 0.0
             for b in self.batches:
-                img = jnp.asarray(b)
+                from ..parallel import pad_batch_to_multiple
+
+                n_real = b.shape[0]
+                b_pad, _ = pad_batch_to_multiple(np.asarray(b), self._pad_multiple)
+                mask = np.zeros(b_pad.shape[0], dtype=b_pad.dtype)
+                mask[:n_real] = 1.0
                 self.params, self.opt_state, self.I, loss = self._train_step(
-                    self.params, self.opt_state, self.I, img
+                    self.params, self.opt_state, self.I,
+                    jnp.asarray(b_pad), jnp.asarray(mask),
                 )
-                total += float(loss) * (b.shape[0] / self.n_examples)
+                total += float(loss) * (n_real / self.n_examples)
             self.epoch_losses.append(total)
             if self.progress_bar:
                 epbar.set_postfix(loss=total)

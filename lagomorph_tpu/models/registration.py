@@ -125,9 +125,17 @@ def lddmm_register(
     m0=None,
     momentum_preconditioning=False,
     checkpoints=False,
+    transport_mode=None,
+    compose_mode=None,
 ):
     """Pairwise LDDMM registration by geodesic shooting from ``source`` to
     ``target`` (BASELINE.json config 3).
+
+    ``transport_mode``/``compose_mode``: static warp-tier overrides threaded
+    into the shooting scan (see :func:`lagomorph_tpu.lddmm.expmap`); passing
+    ``compose_mode="unit"`` (always valid for stable steps) and
+    ``transport_mode="bounded"`` (valid when total deformation < 3 voxels)
+    compiles the optimization scan without the runtime 3-tier cond.
 
     Returns ``(m, phiinv, losses)``: optimized initial momenta, final
     inverse deformation, and per-iteration losses.
@@ -138,7 +146,10 @@ def lddmm_register(
         m0 = jnp.zeros((N, dim) + tuple(target.shape[2:]), dtype=target.dtype)
 
     def loss_fn(m):
-        h = expmap(metric, m, num_steps=integration_steps, checkpoints=checkpoints)
+        h = expmap(
+            metric, m, num_steps=integration_steps, checkpoints=checkpoints,
+            transport_mode=transport_mode, compose_mode=compose_mode,
+        )
         Idef = interp(source, h)
         v = metric.sharp(m)
         reg = reg_weight * jnp.sum(v * m) / target.size
@@ -155,5 +166,8 @@ def lddmm_register(
         return jax.lax.scan(body, m, None, length=num_iters)
 
     m, losses = opt(m0, num_iters)
-    phiinv = expmap(metric, m, num_steps=integration_steps)
+    phiinv = expmap(
+        metric, m, num_steps=integration_steps,
+        transport_mode=transport_mode, compose_mode=compose_mode,
+    )
     return m, phiinv, losses

@@ -29,6 +29,7 @@ struct Cache {
     std::vector<char> buf;       // readahead buffer
     int64_t buf_idx = -1;        // which batch the buffer holds (-1 none)
     int64_t want_idx = -1;       // which batch the worker should load next
+    int64_t failed_idx = -1;     // last batch whose readahead read failed
     bool stop = false;
 
     std::string path(int64_t i) const {
@@ -54,7 +55,17 @@ struct Cache {
             lk.unlock();
             bool ok = read_file(idx, buf.data(), n);
             lk.lock();
-            buf_idx = ok ? idx : -1;
+            if (ok) {
+                buf_idx = idx;
+                if (failed_idx == idx) failed_idx = -1;
+            } else {
+                // record the failure and drop the request so the worker does
+                // not busy-loop on a bad file; bc_get falls back to a direct
+                // read (which reports the error to the caller)
+                buf_idx = -1;
+                failed_idx = idx;
+                if (want_idx == idx) want_idx = -1;
+            }
             cv.notify_all();
         }
     }
@@ -103,8 +114,10 @@ int bc_get(void* h, int64_t i, void* dst, int64_t nbytes) {
     {
         std::unique_lock<std::mutex> lk(c->mu);
         if (c->want_idx == i) {
-            // wait for in-flight readahead of this batch
-            c->cv.wait(lk, [&] { return c->buf_idx == i || c->stop; });
+            // wait for in-flight readahead of this batch (or its failure)
+            c->cv.wait(lk, [&] {
+                return c->buf_idx == i || c->failed_idx == i || c->stop;
+            });
         }
         if (c->buf_idx == i) {
             std::memcpy(dst, c->buf.data(), (size_t)nbytes);

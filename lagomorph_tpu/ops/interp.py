@@ -58,6 +58,13 @@ _WARP_MODE = "auto"
 
 
 def set_warp_mode(mode: str):
+    """Set the global warp-path mode (see ``_WARP_MODE`` above).
+
+    Read at *trace* time: already-jitted functions keep the mode they were
+    traced with because jit caches do not key on this flag.  Set the mode
+    before building/jitting step functions (or retrace them) for a change
+    to take effect.
+    """
     global _WARP_MODE
     if mode not in ("auto", "unit", "bounded", "general"):
         raise ValueError(mode)
@@ -67,7 +74,8 @@ def set_warp_mode(mode: str):
 
 
 def interp_auto(
-    I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 2
+    I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 2,
+    mode: str | None = None,
 ) -> jnp.ndarray:
     """:func:`interp` with automatic tiered fast paths.
 
@@ -80,6 +88,10 @@ def interp_auto(
 
     The tiers are runtime ``lax.cond`` switches on the displacement bound,
     so one compiled program covers all regimes with identical results.
+
+    ``mode``: per-call static tier override ("unit"/"bounded"/"general"),
+    taking precedence over the global :func:`set_warp_mode` setting; the
+    caller guarantees the displacement regime.
     """
     d = dt * u if dt != 1.0 else u
     N = u.shape[0]
@@ -96,11 +108,14 @@ def interp_auto(
     else:
         unit_impl = sample_displacement_unit
 
-    if _WARP_MODE == "unit":
+    mode = mode if mode is not None else _WARP_MODE
+    if mode not in ("auto", "unit", "bounded", "general"):
+        raise ValueError(mode)
+    if mode == "unit":
         return unit_impl(Ib, d)
-    if _WARP_MODE == "bounded":
+    if mode == "bounded":
         return sample_displacement_bounded(Ib, d, radius)
-    if _WARP_MODE == "general":
+    if mode == "general":
         return interp(Ib, d, 1.0)
     unit = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
     bounded = jnp.logical_and(

@@ -16,6 +16,13 @@ from .mesh import (
     replicate,
     pad_batch_to_multiple,
 )
+from .distributed import (
+    process_shard_indices,
+    shard_sizes,
+    put_global,
+    local_shard,
+    allsum_hosts,
+)
 
 __all__ = [
     "get_mesh",
@@ -25,4 +32,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_batch_to_multiple",
+    "process_shard_indices",
+    "shard_sizes",
+    "put_global",
+    "local_shard",
+    "allsum_hosts",
 ]

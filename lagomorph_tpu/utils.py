@@ -56,45 +56,57 @@ def local_device_count():
 
 
 class Tool:
-    """Two-level argparse CLI dispatcher (reference utils.py:79-119)."""
+    """Base class for two-level CLIs: ``<prog> <subcommand> [args...]``.
+
+    Subclasses declare ``module_name`` and ``subcommands``; each subcommand
+    is a method of the same name that builds its own argparse parser via
+    :meth:`new_parser` and consumes ``sys.argv[2:]``.  Dispatch itself does
+    not use argparse — :meth:`run` peeks at the first positional token and
+    either calls the matching method or prints a generated overview.
+
+    (Same CLI surface as the reference's Tool, utils.py:79-119, implemented
+    independently.)
+    """
 
     module_name = None
     subcommands = []
 
-    def __init__(self):
-        usage = (
-            f"python -m {self.module_name} <command> [<args>]"
-            + "\n\nAvailable subcommands:\n\n"
-        )
-        for c in self.subcommands:
-            usage += f"{c:15s} {self.describe_subcommand(c)}\n"
-        usage += "\n"
-        self.parser = self.new_parser(usage=usage)
-        self.parser.add_argument("command", help="Subcommand to run")
+    def _prog(self, subcmd=None):
+        base = f"python -m {self.module_name}"
+        return base if subcmd is None else f"{base} {subcmd}"
+
+    def _overview(self):
+        lines = [f"usage: {self._prog()} <command> [<args>]", "", "commands:"]
+        for name in self.subcommands:
+            doc = self.describe_subcommand(name) or ""
+            summary = next((ln.strip() for ln in doc.splitlines() if ln.strip()), "")
+            lines.append(f"  {name:<14} {summary}")
+        return "\n".join(lines) + "\n"
 
     def run(self, argv=None):
-        if argv is None:
-            argv = sys.argv
-        args = self.parser.parse_args(argv[1:2])
-        if args.command not in self.subcommands:
-            print("ERROR: Unrecognized command")
-            self.parser.print_help()
+        argv = sys.argv if argv is None else argv
+        cmd = argv[1] if len(argv) > 1 else None
+        if cmd in ("-h", "--help", None):
+            print(self._overview())
+            sys.exit(0 if cmd else 1)
+        if cmd not in self.subcommands:
+            print(f"ERROR: unknown command {cmd!r}\n")
+            print(self._overview())
             sys.exit(1)
-        self.call_subcommand(args.command)
+        self.call_subcommand(cmd)
 
-    def describe_subcommand(self, sub):
-        return getattr(self, sub).__doc__
+    def describe_subcommand(self, name):
+        return getattr(self, name).__doc__
 
     def new_parser(self, subcmd=None, **kwargs):
-        prog = "python -m " + self.module_name
-        if subcmd is not None:
-            prog += " " + subcmd
         return argparse.ArgumentParser(
-            prog=prog, formatter_class=argparse.ArgumentDefaultsHelpFormatter, **kwargs
+            prog=self._prog(subcmd),
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+            **kwargs,
         )
 
-    def call_subcommand(self, command):
-        getattr(self, command)()
+    def call_subcommand(self, name):
+        getattr(self, name)()
 
     @staticmethod
     def _compute_args(parser):

@@ -260,3 +260,77 @@ def test_affine_atlas_keep_data_on_device(rng):
     assert np.allclose(As0, As1, atol=1e-6)
     assert np.allclose(Ts0, Ts1, atol=1e-6)
     assert np.allclose(el0, el1, rtol=1e-5)
+
+
+def test_lddmm_atlas_loader_workers_matches_sync(rng, tmp_path):
+    """Async prefetch staging (loader_workers>0) must be bit-identical to
+    synchronous staging — it only overlaps transfers with compute."""
+    from lagomorph_tpu.lddmm import LDDMMAtlasBuilder
+
+    imgs = make_synth_images(rng, n=6, res=12)
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+
+    def run(workers):
+        b = LDDMMAtlasBuilder(
+            list(imgs),
+            num_epochs=2,
+            batch_size=4,  # uneven final batch exercises the pad+mask path
+            metric=metric,
+            learning_rate_pose=1e-3,
+            learning_rate_image=1e2,
+            loader_workers=workers,
+            progress_bar=False,
+        )
+        b.run()
+        return np.asarray(b.I), [np.asarray(m) for m in b.ms], b.iter_losses
+
+    I0, ms0, l0 = run(0)
+    I2, ms2, l2 = run(2)
+    assert np.array_equal(I0, I2)
+    for a, b_ in zip(ms0, ms2):
+        assert np.array_equal(a, b_)
+    assert l0 == l2
+
+
+def test_cached_loader_random_access(rng, tmp_path):
+    """CachedDataLoader supports O(1) indexed access into its .npy files."""
+    from lagomorph_tpu.data import CachedDataLoader
+
+    batches = [rng.standard_normal((3, 1, 4, 4)).astype(np.float32) for _ in range(4)]
+    cdl = CachedDataLoader(iter(batches), cache_dir=str(tmp_path), progress_bar=False)
+    assert len(cdl) == 4
+    # indexed access out of order
+    for i in (2, 0, 3, 1):
+        assert np.array_equal(cdl[i], batches[i])
+    # iteration still replays in order
+    for got, want in zip(cdl, batches):
+        assert np.array_equal(got, want)
+
+
+def test_lddmm_atlas_cli_loader_flags(rng, tmp_path):
+    """The lddmm atlas CLI accepts --dataloader_cache/--loader_workers."""
+    import subprocess
+    import sys
+    import h5py
+
+    imgs = make_synth_images(rng, n=4, res=8)
+    inp = str(tmp_path / "in.h5")
+    outp = str(tmp_path / "out.h5")
+    with h5py.File(inp, "w") as f:
+        f.create_dataset("images", data=imgs)
+    cache = str(tmp_path / "cache")
+    import os
+
+    os.makedirs(cache, exist_ok=True)
+    cmd = [
+        sys.executable, "-m", "lagomorph_tpu", "lddmm", "atlas", inp, outp,
+        "--num_epochs", "1", "--batch_size", "2",
+        "--lddmm_integration_steps", "2",
+        "--dataloader_cache", cache, "--loader_workers", "2",
+        "--platform", "cpu",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with h5py.File(outp, "r") as f:
+        assert f["atlas"].shape[-1] == 8
+        assert f["momenta"].shape[0] == 4

@@ -152,3 +152,56 @@ def test_interp_auto_tier2(rng):
     g1 = jax.grad(lambda u: jnp.sum(interp_auto(I, u) ** 3))(u)
     g2 = jax.grad(lambda u: jnp.sum(interp(I, u) ** 3))(u)
     assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
+
+
+def test_interp_auto_static_mode_override(rng):
+    """Per-call mode= overrides compile the forced tier and match auto."""
+    sp = (6, 6)
+    I = jnp.asarray(rng.standard_normal((2, 1) + sp))
+    small = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 2) + sp))
+    mid = jnp.asarray(rng.uniform(-1.9, 1.9, (2, 2) + sp))
+    ref_small = interp(I, small)
+    ref_mid = interp(I, mid)
+    assert np.allclose(interp_auto(I, small, mode="unit"), ref_small, atol=1e-13)
+    assert np.allclose(interp_auto(I, small, mode="general"), ref_small, atol=1e-13)
+    assert np.allclose(interp_auto(I, mid, mode="bounded"), ref_mid, atol=1e-13)
+    with pytest.raises(ValueError):
+        interp_auto(I, small, mode="warp-speed")
+
+
+def test_expmap_static_modes_match_auto(rng):
+    """Static transport/compose modes give the same shooting result as the
+    runtime-tiered path, values and gradients."""
+    sp = (8, 8)
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    # static modes are only exact inside their regime: per-substep
+    # displacement < 1 voxel (unit compose) and total deformation < 3
+    # voxels (bounded transport); this scale gives max|v| ~ 1, max|h| ~ 1
+    m = jnp.asarray(rng.standard_normal((2, 2) + sp) * 5e-4)
+
+    def loss(m, tm, cm):
+        h = lm.expmap(metric, m, num_steps=4, transport_mode=tm, compose_mode=cm)
+        return jnp.sum(h * h), h
+
+    (l0, h0), g0 = jax.value_and_grad(loss, has_aux=True)(m, None, None)
+    (l1, h1), g1 = jax.value_and_grad(loss, has_aux=True)(m, "bounded", "unit")
+    assert np.allclose(np.asarray(h0), np.asarray(h1), atol=1e-12)
+    assert np.allclose(float(l0), float(l1), atol=1e-12)
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=1e-12)
+
+
+def test_lddmm_register_static_modes(rng):
+    """lddmm_register with static warp modes matches the auto-tier result."""
+    from lagomorph_tpu.models import lddmm_register
+
+    sp = (8, 8)
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    src = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    tgt = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    m_a, h_a, loss_a = lddmm_register(src, tgt, metric, num_iters=3)
+    m_s, h_s, loss_s = lddmm_register(
+        src, tgt, metric, num_iters=3,
+        transport_mode="bounded", compose_mode="unit",
+    )
+    assert np.allclose(np.asarray(m_a), np.asarray(m_s), atol=1e-10)
+    assert np.allclose(np.asarray(loss_a), np.asarray(loss_s), atol=1e-10)

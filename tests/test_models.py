@@ -83,3 +83,25 @@ def test_deep_lddmm_atlas_trains(rng):
     assert m.shape == (2, 2, 12, 12)
     Idef = model.deform_atlas(imgs[:2])
     assert Idef.shape == (2, 1, 12, 12)
+
+
+def test_deep_lddmm_atlas_mesh_uneven_batch(rng):
+    """With a mesh, a dataset size not divisible by batch*devices must train
+    via the pad+mask path (regression: the final uneven batch used to raise)."""
+    from lagomorph_tpu.parallel import get_mesh
+
+    imgs = make_synth_images(rng, n=7, res=12)  # 7 % (8 devices) != 0
+    model = DeepLDDMMAtlas(
+        list(imgs),
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        batch_size=4,  # batches of 4 and 3
+        integration_steps=2,
+        reg_weight=1e-2,
+        learning_rate_net=1e-3,
+        learning_rate_image=10.0,
+        mesh=get_mesh(),
+        progress_bar=False,
+    )
+    model.fit(num_epochs=2)
+    assert len(model.epoch_losses) == 2
+    assert np.isfinite(model.epoch_losses[-1])
