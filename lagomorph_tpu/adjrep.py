@@ -61,7 +61,35 @@ def Ad_star(phiinv, m, mode=None):
     displacement ``phiinv`` (reference adjrep.py:86-97).
 
     ``mode`` statically forces the warp tier (the transport displacement is
-    ``phiinv``, bounded by the total integration time in voxels)."""
+    ``phiinv``, bounded by the total integration time in voxels).
+
+    On TPU with 3D f32 fields, the unit-displacement regime runs the fused
+    Pallas kernel (one VMEM pass for warp + Jacobian contraction) — selected
+    statically for ``mode="unit"``, by runtime bound check under auto."""
+    from .ops.pallas import epdiff_unit as _eu
+
+    if mode in (None, "unit") and _eu.ad_star_supported(
+        phiinv.shape, m.shape, phiinv.dtype
+    ):
+        if mode == "unit":
+            return _eu.ad_star_unit_pallas(phiinv, m)
+        import jax
+        import jax.numpy as jnp
+
+        def fallback(p, mm):
+            mphiinv = interp_auto(mm, p)
+            return jacobian_times_vectorfield(p, mphiinv, displacement=True)
+
+        unit = jnp.logical_and(jnp.all(phiinv >= -1.0), jnp.all(phiinv < 1.0))
+        # remat the untaken branch's residuals (see CLAUDE.md cond note);
+        # the fused op has a custom_vjp so it stores only its inputs
+        return jax.lax.cond(
+            unit,
+            _eu.ad_star_unit_pallas,
+            jax.checkpoint(fallback),
+            phiinv,
+            m,
+        )
     mphiinv = interp_auto(m, phiinv, mode=mode)
     return jacobian_times_vectorfield(phiinv, mphiinv, displacement=True)
 

@@ -43,7 +43,37 @@ def compose(u, v, ds=1.0, dt=1.0, mode=None):
     the inner warp's displacement is one Euler sub-step (|ds*u| < 1 voxel
     for any stable step size), where the warp is a dense stencil instead of
     a gather.  ``mode`` statically forces a tier (see
-    :func:`lagomorph_tpu.ops.interp.interp_auto`)."""
+    :func:`lagomorph_tpu.ops.interp.interp_auto`).
+
+    On TPU with 3D f32 fields and ``dt == 1``, the unit regime runs the
+    fused composition kernel (axpy + weights + warp in one VMEM pass)."""
+    from .ops.pallas import epdiff_unit as _eu
+
+    if (
+        isinstance(ds, (int, float))
+        and isinstance(dt, (int, float))
+        and dt == 1.0
+        and mode in (None, "unit")
+        and _eu.compose_supported(v.shape, u.shape, u.dtype)
+    ):
+        if mode == "unit":
+            return _eu.compose_disp_vel_pallas(v, u, float(ds))
+        import jax
+        import jax.numpy as jnp
+
+        d = ds * u
+        unit = jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+
+        def fallback(v_, u_):
+            return ds * u_ + interp_auto(v_, u_, dt=ds)
+
+        return jax.lax.cond(
+            unit,
+            lambda v_, u_: _eu.compose_disp_vel_pallas(v_, u_, float(ds)),
+            jax.checkpoint(fallback),
+            v,
+            u,
+        )
     return ds * u + dt * interp_auto(v, u, dt=ds, mode=mode)
 
 

@@ -306,6 +306,7 @@ class LDDMMAtlasBuilder:
         loader_workers=0,
         dataloader_cache=None,
         keep_data_on_device=False,
+        image_dtype=None,
         device=None,
         world_size=1,
         rank=0,
@@ -632,8 +633,8 @@ class LDDMMAtlasBuilder:
             if batch_index not in self._dev_cache:
                 img_np, m_np = host_batch(batch_index)
                 n_real = img_np.shape[0]
-                img_np = pad_rows(img_np)
-                mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+                img_np = self._image_cast(pad_rows(img_np))
+                mask = np.zeros(img_np.shape[0], dtype=self.dtype)
                 mask[:n_real] = 1.0
                 m_np = pad_rows(m_np)
                 self._dev_cache[batch_index] = [
@@ -652,11 +653,23 @@ class LDDMMAtlasBuilder:
 
         img_np, m_np = host_batch(batch_index)
         n_real = img_np.shape[0]
-        img_np = pad_rows(img_np)
+        img_np = self._image_cast(pad_rows(img_np))
         m_np = pad_rows(m_np)
-        mask = np.zeros(img_np.shape[0], dtype=img_np.dtype)
+        mask = np.zeros(img_np.shape[0], dtype=self.dtype)
         mask[:n_real] = 1.0
         return self._put(img_np), self._put(m_np), self._put(mask), n_real
+
+    def _image_cast(self, img_np):
+        """Optionally downcast staged images for storage/transfer (e.g.
+        ``image_dtype='bfloat16'`` halves on-device image memory and
+        host->device bytes; the jitted loss upcasts to f32 for compute, so
+        only the stored image values are rounded — momenta, deformations,
+        and the atlas stay f32)."""
+        if self.image_dtype is None:
+            return img_np
+        import jax.numpy as _jnp
+
+        return np.asarray(img_np).astype(_jnp.dtype(self.image_dtype))
 
     def _stage_async(self, batch_index):
         """Submit host staging of a batch to the loader pool (returns a
@@ -856,6 +869,14 @@ class _Tool(Tool):
             "(fastest when the dataset fits in HBM)",
         )
         ag.add_argument(
+            "--image_dtype",
+            default=None,
+            type=str,
+            choices=["bfloat16", "float32"],
+            help="Storage dtype for staged images (bfloat16 halves "
+            "on-device image memory and transfer bytes; compute stays f32)",
+        )
+        ag.add_argument(
             "--reg_weight", default=1e-1, type=float, help="Deformation regularization"
         )
         ag.add_argument(
@@ -899,6 +920,7 @@ class _Tool(Tool):
             checkpoint_format=args.checkpoint,
             gradient_checkpointing=args.gradient_checkpointing,
             keep_data_on_device=args.keep_data_on_device,
+            image_dtype=args.image_dtype,
             loader_workers=args.loader_workers,
             dataloader_cache=args.dataloader_cache,
             metric=metric,

@@ -30,9 +30,10 @@ the reference's sharp results bit-for-bit in exact arithmetic.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -234,10 +235,34 @@ def _fluid_multiplier_traced(spatial, params, inverse, dtype):
 def fluid_operator(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     """Apply the fluid operator (or its inverse) to a batch of vector fields.
 
-    ``mv``: ``(N, dim, *spatial)``.  Self-adjoint; reverse-mode autodiff
-    re-applies the same operator, matching the reference backward
-    (lagomorph/metric.py:21-34).
+    ``mv``: ``(N, dim, *spatial)``.  The operator is self-adjoint in the
+    real L2 inner product (the multiplier is real, symmetric in the
+    component indices, and even under k -> N-k), so the backward pass
+    re-applies the same operator to the cotangent — exactly the reference's
+    hand-written backward (lagomorph/metric.py:21-34) and cheaper than
+    autodiff's transposed-FFT chain (which pays hermitian-redundancy
+    masking/scaling fixups on the half spectrum).
     """
+    return _fluid_cvjp(mv, tuple(float(p) for p in params), bool(inverse))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fluid_cvjp(mv, params, inverse):
+    return _fluid_apply(mv, params, inverse)
+
+
+def _fluid_cvjp_fwd(mv, params, inverse):
+    return _fluid_apply(mv, params, inverse), None
+
+
+def _fluid_cvjp_bwd(params, inverse, _res, g):
+    return (_fluid_apply(g, params, inverse),)
+
+
+_fluid_cvjp.defvjp(_fluid_cvjp_fwd, _fluid_cvjp_bwd)
+
+
+def _fluid_apply(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     dim = mv.shape[1]
     spatial = tuple(mv.shape[2:])
     if dim != len(spatial):

@@ -1,0 +1,1370 @@
+"""Fused Pallas kernel for the EPDiff momentum-transport step (``Ad^*``).
+
+The hot loop of geodesic shooting computes, per integration step
+(reference lddmm.py:39-44, adjrep.py:86-97):
+
+    m_c(x) = sum_a (D_a phiinv_c(x) + delta_ca) * m0_a(x + phiinv(x))
+
+i.e. a unit-displacement warp of ``m0`` (27-tap stencil, |phiinv| < 1)
+contracted with the central-difference Jacobian of ``phiinv`` plus identity.
+The unfused pipeline (ops/pallas/warp_unit.py kernel + XLA jtv) makes three
+HBM round-trips over the fields; this kernel computes the whole contraction
+in one VMEM pass: read phiinv + m0, write m.
+
+Weights, taps, and difference stencils reproduce the exact discretization of
+:func:`lagomorph_tpu.ops.sampling.sample_displacement_unit` and
+:func:`lagomorph_tpu.ops.boundary.diff_central` (CLAMP boundary), so the op
+is bit-identical to the composed XLA path in its regime.
+
+Two variants (same selection rules as warp_unit):
+ * whole-Y — (Y*Z) flattened into one lane axis, for Y*Z <= 8192;
+ * y-blocked — lane windows with 1-voxel y halos, for Z % 128 == 0;
+plus end-edge padding (warp_unit._pad_amounts) for all other shapes.
+
+The backward is composed from the existing fused warp backward kernels and
+the (XLA-fused) jtv transpose/adjoint stencils; a fully fused backward
+kernel is the planned next lift.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import warp_unit as wu
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+_ENABLED = True
+
+
+def set_fused_adstar(enabled: bool):
+    """Enable/disable the fused Ad* kernel (trace-time flag; retrace after
+    changing it, like warp_unit.set_pallas_warp)."""
+    global _ENABLED
+    prev = _ENABLED
+    _ENABLED = bool(enabled)
+    return prev
+
+
+def ad_star_supported(p_shape, m_shape, dtype) -> bool:
+    """True when the fused kernel (directly or via end-edge padding) covers
+    these shapes: 3D, f32, 3-channel phiinv and m0, equal batches."""
+    if not (_ENABLED and _HAVE_PALLAS and wu.pallas_warp_enabled()):
+        return False
+    if dtype != jnp.float32:
+        return False
+    if len(p_shape) != 5 or p_shape[1] != 3:
+        return False
+    if len(m_shape) != 5 or m_shape[1] != 3:
+        return False
+    if m_shape[0] not in (1, p_shape[0]):
+        return False
+    if tuple(m_shape[2:]) != tuple(p_shape[2:]):
+        return False
+    # same geometry gates as the warp kernels (I := m0 with C=3)
+    return wu.fastpath_supported(m_shape, p_shape, dtype)
+
+
+def _weights(d, axis, o):
+    """Per-axis tier-1 stencil weight at offset o from displacement block
+    ``d`` of shape (3, ...): identical formula to warp_unit."""
+    da = d[axis]
+    fa = jnp.floor(da)
+    ta = da - fa
+    if o == -1:
+        return (fa == -1.0).astype(da.dtype) * (1.0 - ta)
+    if o == 0:
+        return (fa == -1.0).astype(da.dtype) * ta + (fa == 0.0).astype(
+            da.dtype
+        ) * (1.0 - ta)
+    return (fa == 0.0).astype(da.dtype) * ta
+
+
+# ---------------------------------------------------------------------------
+# whole-Y variant: (Y, Z) flattened into one lane axis
+# ---------------------------------------------------------------------------
+
+
+def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab, sems):
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    YZ = Y * Z
+
+    cp1 = pltpu.make_async_copy(
+        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        mpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], m_slab, sems.at[1]
+    )
+    cp1.start(); cp2.start()
+    cp1.wait(); cp2.wait()
+
+    psl = p_slab[...]  # (3, BX+16, YZ)
+    msl = m_slab[...]
+    d = psl[:, 8 : 8 + BX, :]  # center block = weights source
+
+    shape = (3, BX, YZ)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    y_idx = lane // Z
+    z_idx = lane - y_idx * Z
+
+    def roll_clamp(A, o, step, idx, n_axis):
+        """Lane roll by o*step with clamp fix (edge keeps the unshifted
+        value) on the logical axis whose per-lane index is ``idx``."""
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    # fused 27-tap warp of m0
+    mw = jnp.zeros(shape, dtype=d.dtype)
+    for ox in (-1, 0, 1):
+        rx = pltpu.roll(msl, (-ox) % (BX + 16), 1) if ox != 0 else msl
+        base = rx[:, 8 : 8 + BX, :]
+        wx = _weights(d, 0, ox)
+        for oy in (-1, 0, 1):
+            xy = roll_clamp(base, oy, Z, y_idx, Y)
+            wxy = wx * _weights(d, 1, oy)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp(xy, oz, 1, z_idx, Z)
+                mw = mw + (wxy * _weights(d, 2, oz)) * tap
+
+    # Jacobian columns of phiinv: clamped central differences.  x uses the
+    # edge-padded slab halo (uniform formula); y/z use clamp rolls, which at
+    # the edge give a one-sided half-difference exactly like diff_central.
+    xp = pltpu.roll(psl, (BX + 15) % (BX + 16), 1)[:, 8 : 8 + BX, :]
+    xm = pltpu.roll(psl, 1, 1)[:, 8 : 8 + BX, :]
+    Jx = 0.5 * (xp - xm)
+    Jy = 0.5 * (roll_clamp(d, 1, Z, y_idx, Y) - roll_clamp(d, -1, Z, y_idx, Y))
+    Jz = 0.5 * (roll_clamp(d, 1, 1, z_idx, Z) - roll_clamp(d, -1, 1, z_idx, Z))
+
+    out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+
+
+def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
+    """ppad/mpad: (N, 3, X+16, Y*Z) x-edge-padded, flattened lanes."""
+    N = ppad.shape[0]
+    BX = wu._pick_block(X, Y * Z)
+    out = pl.pallas_call(
+        partial(_adstar_fwd_kernel, BX, Y, Z),
+        out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
+        grid=(N, X // BX),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, BX, Y * Z),
+            lambda n, xb: (n, 0, xb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(ppad, mpad)
+    return out.reshape(N, 3, X, Y, Z)
+
+
+# ---------------------------------------------------------------------------
+# y-blocked variant: lane windows with 1-voxel y halos (Z % 128 == 0)
+# ---------------------------------------------------------------------------
+
+
+def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
+                          p_slab, m_slab, sems):
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    WL = (BY + 2) * Z
+    BL = BY * Z
+
+    cp1 = pltpu.make_async_copy(
+        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        p_slab, sems.at[0],
+    )
+    cp2 = pltpu.make_async_copy(
+        mpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        m_slab, sems.at[1],
+    )
+    cp1.start(); cp2.start()
+    cp1.wait(); cp2.wait()
+
+    psl = p_slab[...]  # (3, BX+16, WL)
+    msl = m_slab[...]
+    d = psl[:, 8 : 8 + BX, Z : Z + BL]  # center block (3, BX, BL)
+
+    shape = (3, BX, BL)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    z_idx = lane % Z
+
+    def ztap(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 2)
+        edge = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    mw = jnp.zeros(shape, dtype=d.dtype)
+    for ox in (-1, 0, 1):
+        rx = pltpu.roll(msl, (-ox) % (BX + 16), 1) if ox != 0 else msl
+        bx_rows = rx[:, 8 : 8 + BX, :]  # (3, BX, WL)
+        wx = _weights(d, 0, ox)
+        for oy in (-1, 0, 1):
+            ry = pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
+            ctr = ry[:, :, Z : Z + BL]
+            wxy = wx * _weights(d, 1, oy)
+            for oz in (-1, 0, 1):
+                tap = ztap(ctr, oz)
+                mw = mw + (wxy * _weights(d, 2, oz)) * tap
+
+    # Jacobian columns: x from the edge-padded slab halo, y from the
+    # edge-padded window halo, z via clamp rolls
+    xp = pltpu.roll(psl, (BX + 15) % (BX + 16), 1)[:, 8 : 8 + BX, Z : Z + BL]
+    xm = pltpu.roll(psl, 1, 1)[:, 8 : 8 + BX, Z : Z + BL]
+    Jx = 0.5 * (xp - xm)
+    yp = pltpu.roll(psl, (WL - Z) % WL, 2)[:, 8 : 8 + BX, Z : Z + BL]
+    ym = pltpu.roll(psl, Z, 2)[:, 8 : 8 + BX, Z : Z + BL]
+    Jy = 0.5 * (yp - ym)
+    Jz = 0.5 * (ztap(d, 1) - ztap(d, -1))
+
+    out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+
+
+def _adstar_fwd_yb(ppad, mpad, X, Y, Z):
+    """ppad/mpad: (N, 3, X+16, (Y+2)*Z) x/y-edge-padded, flattened lanes."""
+    N = ppad.shape[0]
+    BX = wu._pick_block(X)
+    BY = wu._pick_by(Y, Z)
+    BL = BY * Z
+    out = pl.pallas_call(
+        partial(_adstar_fwd_kernel_yb, BX, BY, Y, Z),
+        out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
+        grid=(N, X // BX, Y // BY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, BX, BL),
+            lambda n, xb, yb: (n, 0, xb, yb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(ppad, mpad)
+    return out.reshape(N, 3, X, Y, Z)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def ad_star_unit_pallas(phiinv, m0):
+    """Fused ``Ad^*(phiinv, m0)`` for the unit-displacement regime
+    (every component of ``phiinv`` in [-1, 1)); bit-identical to
+    ``jtv(phiinv, warp(m0, phiinv), displacement=True)`` on the composed
+    XLA/warp path."""
+    out, _ = _adstar_fwd(phiinv, m0)
+    return out
+
+
+def _adstar_fwd_dispatch(phiinv, m0b):
+    """Run the fused forward on (N,3,X,Y,Z) inputs with matching batches,
+    choosing whole-Y / y-blocked / padded geometry."""
+    N = phiinv.shape[0]
+    X, Y, Z = phiinv.shape[2:]
+    shp = m0b.shape
+    if wu.supported(shp, phiinv.shape, phiinv.dtype):
+        ppad = jnp.pad(phiinv, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
+        mpad = jnp.pad(m0b, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
+        return _adstar_fwd_wholey(
+            ppad.reshape(N, 3, X + 16, Y * Z),
+            mpad.reshape(N, 3, X + 16, Y * Z),
+            X, Y, Z,
+        )
+    if wu.yblocked_supported(shp, phiinv.shape, phiinv.dtype):
+        widths = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
+        ppad = jnp.pad(phiinv, widths, mode="edge")
+        mpad = jnp.pad(m0b, widths, mode="edge")
+        return _adstar_fwd_yb(
+            ppad.reshape(N, 3, X + 16, (Y + 2) * Z),
+            mpad.reshape(N, 3, X + 16, (Y + 2) * Z),
+            X, Y, Z,
+        )
+    # padded-coverage path (bit-exact; see warp_unit._pad_amounts)
+    px, py, pz, _ = wu._pad_amounts(X, Y, Z)
+    ppp, mpp = wu._pad_fields([phiinv, m0b], px, py, pz, "edge")
+    outp = _adstar_fwd_dispatch(ppp, mpp)
+    return outp[:, :, :X, :Y, :Z]
+
+
+def _adstar_fwd(phiinv, m0):
+    N = phiinv.shape[0]
+    m0b = (
+        jnp.broadcast_to(m0, (N,) + m0.shape[1:])
+        if m0.shape[0] == 1 and N > 1
+        else m0
+    )
+    return _adstar_fwd_dispatch(phiinv, m0b), (phiinv, m0)
+
+
+def _adstar_bwd(res, g):
+    """Composed backward (exact adjoints of the fused forward):
+
+      d_mw   = (J + I)^T g               — jtv transpose (XLA stencils)
+      d_m0   = warp-transpose of d_mw    — fused Pallas dI kernel
+      d_p    = weight-gradient path       — fused Pallas dD kernel
+             + sum_a D_a^T (g * mw_a)     — jtv adjoint (XLA stencils)
+    """
+    from ..diff import (
+        jacobian_times_vectorfield,
+        jacobian_times_vectorfield_adjoint,
+    )
+
+    phiinv, m0 = res
+    N = phiinv.shape[0]
+    broadcasting = m0.shape[0] == 1 and N > 1
+    m0b = jnp.broadcast_to(m0, (N,) + m0.shape[1:]) if broadcasting else m0
+
+    if _FUSED_BWD:
+        fused = _adstar_bwd_fused_dispatch(phiinv, m0b, g)
+        if fused is not None:
+            d_p, d_m0 = fused
+            if broadcasting:
+                d_m0 = jnp.sum(d_m0, axis=0, keepdims=True)
+            return d_p, d_m0
+
+    # recompute the warped momentum (fused forward warp kernel)
+    mw = wu.sample_displacement_unit_pallas(m0b, phiinv)
+    d_mw = jacobian_times_vectorfield(
+        phiinv, g, displacement=True, transpose=True
+    )
+    _, warp_vjp = jax.vjp(wu.sample_displacement_unit_pallas, m0b, phiinv)
+    d_m0, d_p_w = warp_vjp(d_mw)
+    d_p = d_p_w + jacobian_times_vectorfield_adjoint(g, mw)
+    if broadcasting:
+        d_m0 = jnp.sum(d_m0, axis=0, keepdims=True)
+    return d_p, d_m0
+
+
+ad_star_unit_pallas.defvjp(_adstar_fwd, _adstar_bwd)
+
+
+# ===========================================================================
+# Fused composition step: out = s*v + phiinv(x + s*v(x))
+# (deform.compose_disp_vel with dt=s — the second warp of each EPDiff
+# substep, reference deform.py:58-62.)  Forward fuses the axpy and the
+# weight computation into the warp pass; backward computes BOTH gradients in
+# one pass (d_phiinv = warp transpose, d_v = s*(g + weight-gradient path)).
+# ===========================================================================
+
+
+def _dweights(d, axis, o):
+    """d/d(disp) of the per-axis weight (same formula as warp_unit dw)."""
+    da = d[axis]
+    fa = jnp.floor(da)
+    if o == -1:
+        return -(fa == -1.0).astype(da.dtype)
+    if o == 0:
+        return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
+    return (fa == 0.0).astype(da.dtype)
+
+
+def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
+    """whole-Y: out = s*v + 27-tap warp of phiinv with weights from s*v."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    YZ = Y * Z
+
+    cp = pltpu.make_async_copy(
+        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems
+    )
+    cp.start()
+    v = v_ref[0]  # (3, BX, YZ)
+    d = s * v
+
+    shape = (3, BX, YZ)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    y_idx = lane // Z
+    z_idx = lane - y_idx * Z
+
+    def roll_clamp(A, o, step, idx, n_axis):
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    cp.wait()
+    psl = p_slab[...]
+    acc = s * v
+    for ox in (-1, 0, 1):
+        rx = pltpu.roll(psl, (-ox) % (BX + 16), 1) if ox != 0 else psl
+        base = rx[:, 8 : 8 + BX, :]
+        wx = _weights(d, 0, ox)
+        for oy in (-1, 0, 1):
+            xy = roll_clamp(base, oy, Z, y_idx, Y)
+            wxy = wx * _weights(d, 1, oy)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp(xy, oz, 1, z_idx, Z)
+                acc = acc + (wxy * _weights(d, 2, oz)) * tap
+    out_ref[0] = acc
+
+
+def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
+                           p_slab, sems):
+    """y-blocked variant of the fused composition forward."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    WL = (BY + 2) * Z
+    BL = BY * Z
+
+    cp = pltpu.make_async_copy(
+        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
+        p_slab, sems,
+    )
+    cp.start()
+    v = v_ref[0]  # (3, BX, BL)
+    d = s * v
+
+    shape = (3, BX, BL)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    z_idx = lane % Z
+
+    def ztap(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 2)
+        edge = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    cp.wait()
+    psl = p_slab[...]
+    acc = s * v
+    for ox in (-1, 0, 1):
+        rx = pltpu.roll(psl, (-ox) % (BX + 16), 1) if ox != 0 else psl
+        bx_rows = rx[:, 8 : 8 + BX, :]
+        wx = _weights(d, 0, ox)
+        for oy in (-1, 0, 1):
+            ry = pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
+            ctr = ry[:, :, Z : Z + BL]
+            wxy = wx * _weights(d, 1, oy)
+            for oz in (-1, 0, 1):
+                tap = ztap(ctr, oz)
+                acc = acc + (wxy * _weights(d, 2, oz)) * tap
+    out_ref[0] = acc
+
+
+def _compose_fwd_dispatch(phiinv, v, s):
+    N = phiinv.shape[0]
+    X, Y, Z = phiinv.shape[2:]
+    shp = phiinv.shape
+    if wu.supported(shp, v.shape, v.dtype):
+        ppad = jnp.pad(phiinv, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
+        BX = wu._pick_block(X, Y * Z)
+        out = pl.pallas_call(
+            partial(_compose_fwd_kernel, BX, Y, Z, s),
+            out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+            grid=(N, X // BX),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, 3, BX, Y * Z),
+                    lambda n, xb: (n, 0, xb, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 3, BX, Y * Z),
+                lambda n, xb: (n, 0, xb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(
+            ppad.reshape(N, 3, X + 16, Y * Z),
+            v.reshape(N, 3, X, Y * Z),
+        )
+        return out.reshape(N, 3, X, Y, Z)
+    if wu.yblocked_supported(shp, v.shape, v.dtype):
+        ppad = jnp.pad(
+            phiinv, [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)], mode="edge"
+        )
+        BX = wu._pick_block(X)
+        BY = wu._pick_by(Y, Z)
+        BL = BY * Z
+        out = pl.pallas_call(
+            partial(_compose_fwd_kernel_yb, BX, BY, Y, Z, s),
+            out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+            grid=(N, X // BX, Y // BY),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, 3, BX, BL),
+                    lambda n, xb, yb: (n, 0, xb, yb),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 3, BX, BL),
+                lambda n, xb, yb: (n, 0, xb, yb),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(
+            ppad.reshape(N, 3, X + 16, (Y + 2) * Z),
+            v.reshape(N, 3, X, Y * Z),
+        )
+        return out.reshape(N, 3, X, Y, Z)
+    # padded-coverage path
+    px, py, pz, _ = wu._pad_amounts(X, Y, Z)
+    ppp, vpp = wu._pad_fields([phiinv, v], px, py, pz, "edge")
+    return _compose_fwd_dispatch(ppp, vpp, s)[:, :, :X, :Y, :Z]
+
+
+def compose_supported(p_shape, v_shape, dtype) -> bool:
+    """Gate for the fused composition: same geometry rules as Ad*."""
+    return ad_star_supported(p_shape, v_shape, dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def compose_disp_vel_pallas(phiinv, v, s):
+    """Fused ``s*v(x) + phiinv(x + s*v(x))`` for |s*v| < 1 (one Euler
+    sub-step of a stable EPDiff integration); bit-identical to
+    ``s*v + warp(phiinv; s*v)`` on the composed path."""
+    out, _ = _compose_fwd(phiinv, v, s)
+    return out
+
+
+def _compose_fwd(phiinv, v, s):
+    return _compose_fwd_dispatch(phiinv, v, s), (phiinv, v)
+
+
+def _compose_bwd(s, res, g):
+    """d_phiinv = warp-transpose of g at weights(s*v);
+    d_v = s*g + s * (weight-gradient path) — fully fused when a kernel
+    geometry applies, else via the existing fused warp backward kernels on
+    the effective displacement s*v."""
+    phiinv, v = res
+    if _FUSED_BWD:
+        fused = _compose_bwd_fused_dispatch(phiinv, v, s, g)
+        if fused is not None:
+            return fused
+    d_eff = s * v
+    _, warp_vjp = jax.vjp(wu.sample_displacement_unit_pallas, phiinv, d_eff)
+    d_p, d_deff = warp_vjp(g)
+    d_v = s * g + s * d_deff
+    return d_p, d_v
+
+
+compose_disp_vel_pallas.defvjp(_compose_fwd, _compose_bwd)
+
+
+# ===========================================================================
+# Fully fused backward kernels.
+#
+# Ad* backward: given the cotangent g of m = (Dp + I) (m0 o (id+p)), one
+# VMEM pass computes BOTH gradients (math in _adstar_bwd's docstring):
+#
+#   d_mw  = (J + I)^T g                      (pointwise contraction)
+#   d_m0  = warp-transpose of (W * d_mw)     (shift-transposes + clamp folds)
+#   d_p   = weight-gradient path (dW * <d_mw, m0-taps>)
+#         + divergence path sum_a D_a^T (g * mw_a)
+#
+# where mw and J are recomputed in VMEM from the slabs (no residuals).
+# Traffic: read p, m0, g; write d_p, d_m0 — 5 field volumes vs ~16 for the
+# composed backward.  D_a^T is the exact transpose of the clamped central
+# difference (ops/boundary.py::diff_central_adjoint):
+#   row 0:    -0.5*(q[0] + q[1])
+#   interior:  0.5*(q[i-1] - q[i+1])
+#   row n-1:   0.5*(q[n-1] + q[n-2])
+# implemented as 0.5*(select(i==0, -q, q[i-1]) - select(i==n-1, -q, q[i+1])).
+# ===========================================================================
+
+
+def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
+                       dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
+    """whole-Y fused Ad* backward (one (n, x-block) per grid step)."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    YZ = Y * Z
+    BXW = BX + 16
+
+    cps = [
+        pltpu.make_async_copy(
+            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
+        )
+        for i, (ref, slab) in enumerate(
+            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    psl = p_slab[...]  # (3, BXW, YZ) edge-padded
+    msl = m_slab[...]  # edge-padded
+    gsl = g_slab[...]  # zero-padded
+
+    shape_w = (3, BXW, YZ)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_w, 2)
+    y_w = lane_w // Z
+    z_w = lane_w - y_w * Z
+    shape_c = (3, BX, YZ)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+    y_c = lane_c // Z
+    z_c = lane_c - y_c * Z
+    row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+    gx_c = row_c + xb * BX
+
+    def roll_clamp_w(A, o, step, idx, n_axis):
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    def wgt(axis, o):
+        return _weights(psl, axis, o)  # (BXW, YZ), at all window rows
+
+    # mw (warped m0) at all window rows (rows 0 / BXW-1 hold wrap garbage
+    # but are never read into outputs, which shift by at most 1 from the
+    # center rows [8, 8+BX))
+    mw = jnp.zeros(shape_w, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
+        wx = wgt(0, ox)
+        for oy in (-1, 0, 1):
+            xy = roll_clamp_w(xt, oy, Z, y_w, Y)
+            wxy = wx * wgt(1, oy)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp_w(xy, oz, 1, z_w, Z)
+                mw = mw + (wxy * wgt(2, oz)) * tap
+
+    # Jacobian columns at all window rows (x from the slab halo)
+    xp = pltpu.roll(psl, BXW - 1, 1)
+    xm = pltpu.roll(psl, 1, 1)
+    Jx = 0.5 * (xp - xm)
+    Jy = 0.5 * (
+        roll_clamp_w(psl, 1, Z, y_w, Y) - roll_clamp_w(psl, -1, Z, y_w, Y)
+    )
+    Jz = 0.5 * (
+        roll_clamp_w(psl, 1, 1, z_w, Z) - roll_clamp_w(psl, -1, 1, z_w, Z)
+    )
+
+    # d_mw_a = sum_c g_c J_ca + g_a   (J_ca = D_a p_c)
+    d_mw = jnp.stack(
+        [
+            gsl[0] * Jx[0] + gsl[1] * Jx[1] + gsl[2] * Jx[2] + gsl[0],
+            gsl[0] * Jy[0] + gsl[1] * Jy[1] + gsl[2] * Jy[2] + gsl[1],
+            gsl[0] * Jz[0] + gsl[1] * Jz[1] + gsl[2] * Jz[2] + gsl[2],
+        ],
+        axis=0,
+    )
+
+    # d_m0: transpose of the weighted warp (shift-transposes + clamp folds;
+    # same algebra as warp_unit._bwd_dI_kernel, all 3 channels at once)
+    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        wx = wgt(0, ox)
+        for oy in (-1, 0, 1):
+            wxy = wx * wgt(1, oy)
+            for oz in (-1, 0, 1):
+                P = (wxy * wgt(2, oz)) * d_mw
+                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                A = Pr[:, 8 : 8 + BX, :]
+                if ox != 0:
+                    edge = (gx_c == 0) if ox == -1 else (gx_c == X - 1)
+                    A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
+                if oy != 0:
+                    wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
+                    Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
+                    A = A2 + jnp.where(edge, A, 0.0)
+                if oz != 0:
+                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+                    Ar = pltpu.roll(A, oz % YZ, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    edge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+                    A = A2 + jnp.where(edge, A, 0.0)
+                acc_dm = acc_dm + A
+    dm_ref[0] = acc_dm
+
+    # d_p, weight-gradient path at center rows (warp_unit._bwd_dD algebra)
+    dctr = psl[:, 8 : 8 + BX, :]
+    d_mw_c = d_mw[:, 8 : 8 + BX, :]
+
+    def wc(axis, o):
+        return _weights(dctr, axis, o)
+
+    def dwc(axis, o):
+        return _dweights(dctr, axis, o)
+
+    def roll_clamp_c(A, o, step, idx, n_axis):
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    acc2 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        base = (
+            pltpu.roll(msl, (-ox) % BXW, 1)[:, 8 : 8 + BX, :]
+            if ox != 0
+            else msl[:, 8 : 8 + BX, :]
+        )
+        for oy in (-1, 0, 1):
+            xy = roll_clamp_c(base, oy, Z, y_c, Y)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp_c(xy, oz, 1, z_c, Z)
+                gt = (
+                    d_mw_c[0] * tap[0]
+                    + d_mw_c[1] * tap[1]
+                    + d_mw_c[2] * tap[2]
+                )
+                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
+                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
+                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+
+    # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel
+    gxw = jax.lax.broadcasted_iota(jnp.int32, shape_w, 1) + xb * BX - 8
+
+    div = jnp.zeros(shape_c, dtype=psl.dtype)
+    for a, (step, idx_c, n_axis) in enumerate(
+        ((None, None, None), (Z, y_c, Y), (1, z_c, Z))
+    ):
+        q = gsl * mw[a][None]
+        qc = q[:, 8 : 8 + BX, :]
+        if a == 0:
+            qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, :]
+            qp = pltpu.roll(q, BXW - 1, 1)[:, 8 : 8 + BX, :]
+            first = gx_c == 0
+            last = gx_c == X - 1
+        else:
+            qm = pltpu.roll(qc, step % YZ, 2)
+            qp = pltpu.roll(qc, (-step) % YZ, 2)
+            first = idx_c == 0
+            last = idx_c == n_axis - 1
+        div = div + 0.5 * (
+            jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
+        )
+
+    dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
+                          dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
+    """y-blocked fused Ad* backward: windows carry a 2-voxel y halo (the
+    inner quantities mw / d_mw are needed on a 1-halo subwindow, whose own
+    taps need one more).  Static lane slices at multiples of Z stay
+    (8,128)-aligned since Z % 128 == 0."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    BXW = BX + 16
+    WL2 = (BY + 4) * Z  # window lanes (2-halo)
+    SL = (BY + 2) * Z   # subwindow lanes (1-halo)
+    BL = BY * Z
+
+    cps = [
+        pltpu.make_async_copy(
+            ref.at[n, :, pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2)],
+            slab, sems.at[i],
+        )
+        for i, (ref, slab) in enumerate(
+            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    psl = p_slab[...]  # (3, BXW, WL2) edge-padded (x and y)
+    msl = m_slab[...]
+    gsl = g_slab[...]  # zero-padded
+
+    psub = psl[:, :, Z : Z + SL]
+    gsub = gsl[:, :, Z : Z + SL]
+
+    shape_s = (3, BXW, SL)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
+    z_s = lane_s % Z
+    shape_c = (3, BX, BL)
+    lane_cb = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+    z_c = lane_cb % Z
+    gy_c = yb * BY + lane_cb // Z
+    row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+    gx_c = row_c + xb * BX
+
+    def ztap_s(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % SL, 2)
+        edge = z_s == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    def wgt_s(axis, o):
+        return _weights(psub, axis, o)  # (BXW, SL)
+
+    # mw on the 1-halo subwindow (y taps = static window slices; x from the
+    # slab halo; z via clamp rolls)
+    mw = jnp.zeros(shape_s, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
+        wx = wgt_s(0, ox)
+        for oy in (-1, 0, 1):
+            ytap = xt[:, :, (1 + oy) * Z : (1 + oy) * Z + SL]
+            wxy = wx * wgt_s(1, oy)
+            for oz in (-1, 0, 1):
+                tap = ztap_s(ytap, oz)
+                mw = mw + (wxy * wgt_s(2, oz)) * tap
+
+    # Jacobian columns on the subwindow
+    xp = pltpu.roll(psl, BXW - 1, 1)[:, :, Z : Z + SL]
+    xm = pltpu.roll(psl, 1, 1)[:, :, Z : Z + SL]
+    Jx = 0.5 * (xp - xm)
+    Jy = 0.5 * (psl[:, :, 2 * Z : 2 * Z + SL] - psl[:, :, 0:SL])
+    Jz = 0.5 * (ztap_s(psub, 1) - ztap_s(psub, -1))
+
+    d_mw = jnp.stack(
+        [
+            gsub[0] * Jx[0] + gsub[1] * Jx[1] + gsub[2] * Jx[2] + gsub[0],
+            gsub[0] * Jy[0] + gsub[1] * Jy[1] + gsub[2] * Jy[2] + gsub[1],
+            gsub[0] * Jz[0] + gsub[1] * Jz[1] + gsub[2] * Jz[2] + gsub[2],
+        ],
+        axis=0,
+    )
+
+    # d_m0: warp transpose, per-axis transposes applied sequentially (they
+    # commute).  Each axis transpose of a field Q is
+    #   (T_o^T Q)(v) = Q(v-o) + [v == clamped-edge for o] Q(v),
+    # where the Q(v-o) read past the domain is automatically zero here
+    # (zero-padded cotangent), so only the clamp FOLD needs a mask.
+    # x uses slab rolls, y uses aligned static subwindow slices, z uses
+    # lane rolls with wrap masking (the roll crosses y-row boundaries).
+    row_cs = jax.lax.broadcasted_iota(jnp.int32, (3, BX, SL), 1)
+    gx_cs = row_cs + xb * BX
+
+    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        wx = wgt_s(0, ox)
+        for oy in (-1, 0, 1):
+            wxy = wx * wgt_s(1, oy)
+            for oz in (-1, 0, 1):
+                P = (wxy * wgt_s(2, oz)) * d_mw  # (3, BXW, SL)
+                # x transpose -> (3, BX, SL)
+                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                Ax = Pr[:, 8 : 8 + BX, :]
+                if ox != 0:
+                    xedge = (gx_cs == 0) if ox == -1 else (gx_cs == X - 1)
+                    Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
+                # y transpose -> (3, BX, BL)
+                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                if oy != 0:
+                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                # z transpose (lane roll wraps across y rows: mask it)
+                if oz != 0:
+                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+                    Ar = pltpu.roll(A, oz % BL, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+                    A = A2 + jnp.where(zedge, A, 0.0)
+                acc_dm = acc_dm + A
+    dm_ref[0] = acc_dm
+
+    # d_p: weight-gradient path at center
+    pcen = psl[:, 8 : 8 + BX, 2 * Z : 2 * Z + BL]
+    d_mw_c = d_mw[:, 8 : 8 + BX, Z : Z + BL]
+
+    def wc(axis, o):
+        return _weights(pcen, axis, o)
+
+    def dwc(axis, o):
+        return _dweights(pcen, axis, o)
+
+    def ztap_c(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 2)
+        edge = z_c == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
+        for oy in (-1, 0, 1):
+            ytap = xt[:, 8 : 8 + BX, (2 + oy) * Z : (2 + oy) * Z + BL]
+            for oz in (-1, 0, 1):
+                tap = ztap_c(ytap, oz)
+                gt = (
+                    d_mw_c[0] * tap[0]
+                    + d_mw_c[1] * tap[1]
+                    + d_mw_c[2] * tap[2]
+                )
+                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
+                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
+                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+
+    # d_p: divergence path sum_a D_a^T (g * mw_a)
+    div = jnp.zeros(shape_c, dtype=psl.dtype)
+    for a in range(3):
+        q = gsub * mw[a][None]  # (3, BXW, SL)
+        qc = q[:, 8 : 8 + BX, Z : Z + BL]
+        if a == 0:
+            qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, Z : Z + BL]
+            qp = pltpu.roll(q, BXW - 1, 1)[:, 8 : 8 + BX, Z : Z + BL]
+            first = gx_c == 0
+            last = gx_c == X - 1
+        elif a == 1:
+            qm = q[:, 8 : 8 + BX, 0:BL]
+            qp = q[:, 8 : 8 + BX, 2 * Z : 2 * Z + BL]
+            first = gy_c == 0
+            last = gy_c == Y - 1
+        else:
+            qm = pltpu.roll(qc, 1, 2)
+            qp = pltpu.roll(qc, BL - 1, 2)
+            first = z_c == 0
+            last = z_c == Z - 1
+        div = div + 0.5 * (
+            jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
+        )
+
+    dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+_FUSED_BWD = True
+
+
+def set_fused_adstar_bwd(enabled: bool):
+    """A/B switch between the fully fused Ad* backward kernel and the
+    composed (warp-bwd + XLA jtv) backward.  Trace-time flag."""
+    global _FUSED_BWD
+    prev = _FUSED_BWD
+    _FUSED_BWD = bool(enabled)
+    return prev
+
+
+def _pick_by_bwd(Y: int, Z: int) -> int:
+    """Block size for the y-blocked backward kernel (2-halo windows, three
+    resident slabs plus mw/d_mw/q temporaries — keep the window small: BY=16
+    at Z=128 overflowed the 16M scoped-vmem limit by 48K)."""
+    for by in (8, 4, 2):
+        if Y % by == 0 and (by + 4) * Z <= 4096:
+            return by
+    return 0
+
+
+def _adstar_bwd_fused_dispatch(p, m0b, g):
+    """Run the fused backward; returns (d_p, d_m0) or None when no kernel
+    geometry applies (caller falls back to the composed backward)."""
+    N = p.shape[0]
+    X, Y, Z = p.shape[2:]
+    shp = m0b.shape
+    xw = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
+    if wu.supported(shp, p.shape, p.dtype):
+        BX = wu._pick_block(X, Y * Z)
+        # Mosaic temporaries (mw, d_mw, q, weights, taps) run ~8x the three
+        # resident slabs; 64^3 measured 27.8M scoped vs the 16M limit, so
+        # only small whole-Y volumes qualify — larger ones use the composed
+        # backward (still Pallas warp-bwd kernels, ~1.8 ms at 64^3 b4)
+        if 9 * 3 * (BX + 16) * Y * Z * 4 > 5 * 1024 * 1024:
+            return None
+        ppad = jnp.pad(p, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
+        mpad = jnp.pad(m0b, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
+        gpad = jnp.pad(g, xw).reshape(N, 3, X + 16, Y * Z)
+        dp, dm = pl.pallas_call(
+            partial(_adstar_bwd_kernel, BX, Y, Z, X),
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
+            ],
+            grid=(N, X // BX),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 3, BX, Y * Z),
+                    lambda n, xb: (n, 0, xb, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )(ppad, mpad, gpad)
+        return dp.reshape(p.shape), dm.reshape(p.shape)
+    if wu.yblocked_supported(shp, p.shape, p.dtype) and _pick_by_bwd(Y, Z):
+        BX = wu._pick_block(X)
+        BY = _pick_by_bwd(Y, Z)
+        BL = BY * Z
+        w2 = [(0, 0), (0, 0), (8, 8), (2, 2), (0, 0)]
+        ppad = jnp.pad(p, w2, mode="edge").reshape(N, 3, X + 16, (Y + 4) * Z)
+        mpad = jnp.pad(m0b, w2, mode="edge").reshape(N, 3, X + 16, (Y + 4) * Z)
+        gpad = jnp.pad(g, w2).reshape(N, 3, X + 16, (Y + 4) * Z)
+        dp, dm = pl.pallas_call(
+            partial(_adstar_bwd_kernel_yb, BX, BY, Y, Z, X),
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
+            ],
+            grid=(N, X // BX, Y // BY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 3, BX, BL),
+                    lambda n, xb, yb: (n, 0, xb, yb),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )(ppad, mpad, gpad)
+        return dp.reshape(p.shape), dm.reshape(p.shape)
+    amounts = wu._pad_amounts(X, Y, Z)
+    if amounts is None:
+        return None
+    px, py, pz, _ = amounts
+    ppp, mpp = wu._pad_fields([p, m0b], px, py, pz, "edge")
+    (gpp,) = wu._pad_fields([g], px, py, pz, "constant")
+    res = _adstar_bwd_fused_dispatch(ppp, mpp, gpp)
+    if res is None:
+        return None
+    dpp, dmp = res
+    return wu._fold_unpad(dpp, X, Y, Z), wu._fold_unpad(dmp, X, Y, Z)
+
+
+# ===========================================================================
+# Fused composition backward: one VMEM pass for BOTH gradients of
+# out = s*v + phiinv(x + s*v(x)):
+#   d_phiinv = warp-transpose of (W(s*v) * g)      (dI pattern)
+#   d_v      = s*g + s * dW(s*v)-path              (dD pattern + axpy)
+# Traffic: read phiinv, v, g; write d_phiinv, d_v — 5 field volumes.
+# ===========================================================================
+
+
+def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
+                        dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
+    """whole-Y fused composition backward."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    YZ = Y * Z
+    BXW = BX + 16
+
+    cps = [
+        pltpu.make_async_copy(
+            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
+        )
+        for i, (ref, slab) in enumerate(
+            ((ppad_ref, p_slab), (vpad_ref, v_slab), (gpad_ref, g_slab))
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    psl = p_slab[...]       # edge-padded
+    dsl = s * v_slab[...]   # effective displacement at all window rows
+    gsl = g_slab[...]       # zero-padded
+
+    shape_w = (3, BXW, YZ)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_w, 2)
+    y_w = lane_w // Z
+    z_w = lane_w - y_w * Z
+    shape_c = (3, BX, YZ)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+    y_c = lane_c // Z
+    z_c = lane_c - y_c * Z
+    row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+    gx_c = row_c + xb * BX
+
+    def roll_clamp(A, o, step, idx, n_axis):
+        if o == 0:
+            return A
+        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
+        edge = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    def wgt(axis, o):
+        return _weights(dsl, axis, o)
+
+    # d_phiinv: warp transpose of W * g (same algebra as the Ad* backward's
+    # d_m0 block)
+    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        wx = wgt(0, ox)
+        for oy in (-1, 0, 1):
+            wxy = wx * wgt(1, oy)
+            for oz in (-1, 0, 1):
+                P = (wxy * wgt(2, oz)) * gsl
+                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                A = Pr[:, 8 : 8 + BX, :]
+                if ox != 0:
+                    edge = (gx_c == 0) if ox == -1 else (gx_c == X - 1)
+                    A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
+                if oy != 0:
+                    wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
+                    Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
+                    A = A2 + jnp.where(edge, A, 0.0)
+                if oz != 0:
+                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+                    Ar = pltpu.roll(A, oz % YZ, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+                    A = A2 + jnp.where(zedge, A, 0.0)
+                acc_dp = acc_dp + A
+    dp_ref[0] = acc_dp
+
+    # d_v: s*g + s * weight-gradient path at center rows
+    dctr = dsl[:, 8 : 8 + BX, :]
+    g_c = gsl[:, 8 : 8 + BX, :]
+
+    def wc(axis, o):
+        return _weights(dctr, axis, o)
+
+    def dwc(axis, o):
+        return _dweights(dctr, axis, o)
+
+    acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    acc2 = jnp.zeros((BX, YZ), dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        base = (
+            pltpu.roll(psl, (-ox) % BXW, 1)[:, 8 : 8 + BX, :]
+            if ox != 0
+            else psl[:, 8 : 8 + BX, :]
+        )
+        for oy in (-1, 0, 1):
+            xy = roll_clamp(base, oy, Z, y_c, Y)
+            for oz in (-1, 0, 1):
+                tap = roll_clamp(xy, oz, 1, z_c, Z)
+                gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
+                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
+                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
+                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+
+    dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
+                           dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
+    """y-blocked fused composition backward (1-voxel y halo suffices: the
+    transpose reads W*g at center±1 only, and W needs no further taps)."""
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+    BXW = BX + 16
+    WL = (BY + 2) * Z
+    BL = BY * Z
+
+    cps = [
+        pltpu.make_async_copy(
+            ref.at[n, :, pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL)],
+            slab, sems.at[i],
+        )
+        for i, (ref, slab) in enumerate(
+            ((ppad_ref, p_slab), (vpad_ref, v_slab), (gpad_ref, g_slab))
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    psl = p_slab[...]
+    dsl = s * v_slab[...]
+    gsl = g_slab[...]
+
+    shape_c = (3, BX, BL)
+    lane_cb = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+    z_c = lane_cb % Z
+    gy_c = yb * BY + lane_cb // Z
+    row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
+    gx_c = row_c + xb * BX
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (3, BX, WL), 1)
+    gx_w = row_w + xb * BX
+
+    def wgt(axis, o):
+        return _weights(dsl, axis, o)  # (BXW, WL)
+
+    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        wx = wgt(0, ox)
+        for oy in (-1, 0, 1):
+            wxy = wx * wgt(1, oy)
+            for oz in (-1, 0, 1):
+                P = (wxy * wgt(2, oz)) * gsl  # (3, BXW, WL)
+                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                Ax = Pr[:, 8 : 8 + BX, :]  # (3, BX, WL)
+                if ox != 0:
+                    xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
+                    Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
+                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                if oy != 0:
+                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                if oz != 0:
+                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+                    Ar = pltpu.roll(A, oz % BL, 2)
+                    A2 = jnp.where(wrap, 0.0, Ar)
+                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+                    A = A2 + jnp.where(zedge, A, 0.0)
+                acc_dp = acc_dp + A
+    dp_ref[0] = acc_dp
+
+    # d_v at center
+    dctr = dsl[:, 8 : 8 + BX, Z : Z + BL]
+    g_c = gsl[:, 8 : 8 + BX, Z : Z + BL]
+
+    def wc(axis, o):
+        return _weights(dctr, axis, o)
+
+    def dwc(axis, o):
+        return _dweights(dctr, axis, o)
+
+    def ztap_c(A, oz):
+        if oz == 0:
+            return A
+        rolled = pltpu.roll(A, (-oz) % BL, 2)
+        edge = z_c == (Z - 1 if oz == 1 else 0)
+        return jnp.where(edge, A, rolled)
+
+    acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    for ox in (-1, 0, 1):
+        xt = pltpu.roll(psl, (-ox) % BXW, 1) if ox != 0 else psl
+        for oy in (-1, 0, 1):
+            ytap = xt[:, 8 : 8 + BX, (1 + oy) * Z : (1 + oy) * Z + BL]
+            for oz in (-1, 0, 1):
+                tap = ztap_c(ytap, oz)
+                gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
+                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
+                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
+                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
+                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+
+    dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+def _compose_bwd_fused_dispatch(phiinv, v, s, g):
+    """Fused compose backward; None when no kernel geometry applies."""
+    N = phiinv.shape[0]
+    X, Y, Z = phiinv.shape[2:]
+    shp = phiinv.shape
+    xw = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
+    if wu.supported(shp, v.shape, v.dtype):
+        BX = wu._pick_block(X, Y * Z)
+        if 3 * 3 * (BX + 16) * Y * Z * 4 > 7 * 1024 * 1024:
+            return None
+        ppad = jnp.pad(phiinv, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
+        vpad = jnp.pad(v, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
+        gpad = jnp.pad(g, xw).reshape(N, 3, X + 16, Y * Z)
+        dp, dv = pl.pallas_call(
+            partial(_compose_bwd_kernel, BX, Y, Z, X, s),
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+            ],
+            grid=(N, X // BX),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 3, BX, Y * Z),
+                    lambda n, xb: (n, 0, xb, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )(ppad, vpad, gpad)
+        return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
+    if wu.yblocked_supported(shp, v.shape, v.dtype):
+        BX = wu._pick_block(X)
+        BY = wu._pick_by(Y, Z)
+        BL = BY * Z
+        w1 = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
+        ppad = jnp.pad(phiinv, w1, mode="edge").reshape(N, 3, X + 16, (Y + 2) * Z)
+        vpad = jnp.pad(v, w1, mode="edge").reshape(N, 3, X + 16, (Y + 2) * Z)
+        gpad = jnp.pad(g, w1).reshape(N, 3, X + 16, (Y + 2) * Z)
+        dp, dv = pl.pallas_call(
+            partial(_compose_bwd_kernel_yb, BX, BY, Y, Z, X, s),
+            out_shape=[
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+                jax.ShapeDtypeStruct((N, 3, X, Y * Z), phiinv.dtype),
+            ],
+            grid=(N, X // BX, Y // BY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 3, BX, BL),
+                    lambda n, xb, yb: (n, 0, xb, yb),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )(ppad, vpad, gpad)
+        return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
+    amounts = wu._pad_amounts(X, Y, Z)
+    if amounts is None:
+        return None
+    px, py, pz, _ = amounts
+    ppp, vpp = wu._pad_fields([phiinv, v], px, py, pz, "edge")
+    (gpp,) = wu._pad_fields([g], px, py, pz, "constant")
+    res = _compose_bwd_fused_dispatch(ppp, vpp, s, gpp)
+    if res is None:
+        return None
+    dpp, dvp = res
+    return wu._fold_unpad(dpp, X, Y, Z), wu._fold_unpad(dvp, X, Y, Z)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -31,7 +32,12 @@ _ENABLED = True
 
 
 def set_pallas_warp(enabled: bool):
-    """Globally enable/disable the Pallas tier-1 warp fast path."""
+    """Globally enable/disable the Pallas tier-1 warp fast path.
+
+    The flag is read at *trace* time: functions already jitted keep the path
+    they were traced with (jit caches do not key on it).  Set it before
+    building/jitting step functions, or clear their caches to retrace.
+    """
     global _ENABLED
     prev = _ENABLED
     _ENABLED = bool(enabled)
@@ -202,12 +208,27 @@ def _sdu_fwd(I, disp):
         # whole-Y path: pad X by 8 per side (sublane-aligned DMA slabs)
         Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
         out = _warp_unit_fwd_pallas(Ipad, disp)
-    else:
+    elif yblocked_supported(shp, disp.shape, disp.dtype):
         # y-blocked path: additional 1-voxel y halo pad
         Ipad = jnp.pad(
             Ib, [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)], mode="edge"
         )
         out = _warp_unit_fwd_yb(Ipad, disp)
+    elif padded_supported(shp, disp.shape, disp.dtype):
+        # universal-coverage path: end-edge-pad to a kernel geometry, run
+        # the kernel there, slice back (bit-exact; see comment above
+        # _pad_amounts)
+        X, Y, Z = disp.shape[2:]
+        px, py, pz, _ = _pad_amounts(X, Y, Z)
+        Ipp, dpp = _pad_fields([Ib, disp], px, py, pz, "edge")
+        outp = _sdu_fwd(Ipp, dpp)[0]
+        out = outp[:, :, :X, :Y, :Z]
+    else:
+        # no kernel applies (caller bypassed fastpath_supported): fall back
+        # to the identical-discretization XLA formulation
+        from ..sampling import sample_displacement_unit
+
+        out = sample_displacement_unit(I, disp)
     return out, (I, disp)
 
 
@@ -247,6 +268,14 @@ def _sdu_bwd(res, g):
         )
         if broadcasting:
             d_I = jnp.sum(d_I, axis=0, keepdims=True)
+        return d_I, d_disp
+    if padded_supported(shp, disp.shape, disp.dtype):
+        px, py, pz, _ = _pad_amounts(X, Y, Z)
+        Ipp, dpp = _pad_fields([I, disp], px, py, pz, "edge")
+        (gpp,) = _pad_fields([g], px, py, pz, "constant")
+        d_Ip, d_dp = _sdu_bwd((Ipp, dpp), gpp)
+        d_I = _fold_unpad(d_Ip, X, Y, Z)
+        d_disp = d_dp[:, :, :X, :Y, :Z]
         return d_I, d_disp
     # fallback: the XLA formulation's VJP (identical discretization)
     from ..sampling import sample_displacement_unit
@@ -821,8 +850,94 @@ def _warp_unit_bwd_yb(Ipad, gpad, dpad, X, Y, Z):
     return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)
 
 
+# ---------------------------------------------------------------------------
+# Universal shape coverage: edge-pad to a kernel-compatible geometry
+# ---------------------------------------------------------------------------
+#
+# The whole-Y kernel needs (Y*Z) % 128 == 0 (lane tiling) and the y-blocked
+# kernel needs Z % 128 == 0 (lane-aligned y-halo windows).  For other shapes
+# (96^3, 160^3, anisotropic, odd) we edge-pad the *end* of each offending
+# axis, run the kernel on the padded geometry, and slice back.  Edge padding
+# preserves CLAMP semantics bit-exactly: a logical tap past the old edge
+# reads the replicated edge value, which IS the clamped value; in the
+# backward, that tap's mass lands on the first padded plane and is folded
+# back onto the edge (only one plane can receive mass since |tap| <= 1).
+
+_MAX_PAD_RATIO = 1.75  # padded/logical voxels beyond which XLA tiers win
+
+
+def _pad_amounts(X: int, Y: int, Z: int):
+    """Edge-padding (px, py, pz, whole_y) reaching a supported geometry, or
+    None.  Prefers the whole-Y kernel (small lane extents), else y-blocked."""
+    px = (-X) % 8
+    # whole-Y: pad Z minimally so (Y * Z') % 128 == 0, if the padded lane
+    # extent stays within the whole-Y working-set bound
+    step = 128 // np.gcd(Y, 128)
+    Zw = -(-Z // step) * step
+    if Y * Zw <= 8192:
+        return px, 0, Zw - Z, True
+    # y-blocked: Z' to a multiple of 128, Y' minimally so a block size exists
+    Zb = -(-Z // 128) * 128
+    py = 0
+    while _pick_by(Y + py, Zb) == 0 and py < 64:
+        py += 1
+    if _pick_by(Y + py, Zb) == 0:
+        return None
+    return px, py, Zb - Z, False
+
+
+def padded_supported(I_shape, disp_shape, dtype) -> bool:
+    """True when the op can run through a kernel after end-edge padding with
+    acceptable overhead."""
+    if not pallas_warp_enabled():
+        return False
+    if dtype != jnp.float32:
+        return False
+    if len(disp_shape) != 5 or disp_shape[1] != 3:
+        return False
+    X, Y, Z = disp_shape[2:]
+    if X < 2 or Y < 2 or Z < 2:
+        return False
+    amounts = _pad_amounts(X, Y, Z)
+    if amounts is None:
+        return False
+    px, py, pz, whole_y = amounts
+    ratio = ((X + px) * (Y + py) * (Z + pz)) / float(X * Y * Z)
+    if ratio > _MAX_PAD_RATIO:
+        return False
+    if whole_y:
+        C = I_shape[1]
+        bx = _pick_block(X + px)
+        YZ = (Y + py) * (Z + pz)
+        vmem = (C * (bx + 16) + 3 * bx + 4 * C * bx) * YZ * 4
+        return bx != 0 and vmem < 12 * 1024 * 1024
+    return True
+
+
+def _pad_fields(arrs, px, py, pz, mode):
+    widths = [(0, 0), (0, 0), (0, px), (0, py), (0, pz)]
+    return [jnp.pad(a, widths, mode=mode) for a in arrs]
+
+
+def _fold_unpad(d, X, Y, Z):
+    """Transpose of the end-edge-pad for |tap| <= 1 stencils: fold the first
+    padded plane of each axis back onto the edge, then slice."""
+    if d.shape[2] > X:
+        d = d[:, :, : X + 1]
+        d = d.at[:, :, X - 1].add(d[:, :, X])[:, :, :X]
+    if d.shape[3] > Y:
+        d = d[:, :, :, : Y + 1]
+        d = d.at[:, :, :, Y - 1].add(d[:, :, :, Y])[:, :, :, :Y]
+    if d.shape[4] > Z:
+        d = d[..., : Z + 1]
+        d = d.at[..., Z - 1].add(d[..., Z])[..., :Z]
+    return d
+
+
 def fastpath_supported(I_shape, disp_shape, dtype) -> bool:
-    """True when either the whole-Y or the y-blocked kernel path applies."""
-    return supported(I_shape, disp_shape, dtype) or yblocked_supported(
-        I_shape, disp_shape, dtype
+    """True when a fused kernel path applies (directly or via padding)."""
+    return (
+        supported(I_shape, disp_shape, dtype)
+        or yblocked_supported(I_shape, disp_shape, dtype)
+        or padded_supported(I_shape, disp_shape, dtype)
     )

@@ -61,6 +61,82 @@ def main():
         print(f"bcast bwd {name} maxerr: {err:.3e}")
         ok &= err < 1e-4
 
+    # universal-coverage shapes (padded-kernel path): 96^3 (z-pad to 128),
+    # anisotropic, odd-ish sizes — bit-exact vs the XLA formulation
+    for spc in ((96, 96, 96), (40, 96, 160), (24, 36, 40)):
+        Ic = jnp.asarray(rng.standard_normal((2, 2) + spc), dtype=jnp.float32)
+        dc = jnp.asarray(rng.uniform(-1.0, 0.999, (2, 3) + spc), dtype=jnp.float32)
+        gc = jnp.asarray(rng.standard_normal((2, 2) + spc), dtype=jnp.float32)
+        if not wu.fastpath_supported(Ic.shape, dc.shape, dc.dtype):
+            print(f"shape {spc}: fastpath not supported (skipped)")
+            continue
+        got = wu.sample_displacement_unit_pallas(Ic, dc)
+        ref = sample_displacement_unit(Ic, dc)
+        err = float(jnp.abs(got - ref).max())
+        print(f"shape {spc} fwd maxerr: {err:.3e}")
+        ok &= err < 1e-5
+        _, vjp_p = jax.vjp(wu.sample_displacement_unit_pallas, Ic, dc)
+        _, vjp_x = jax.vjp(sample_displacement_unit, Ic, dc)
+        gp, gx = vjp_p(gc), vjp_x(gc)
+        for name, a, b in (("d_I", gp[0], gx[0]), ("d_disp", gp[1], gx[1])):
+            err = float(jnp.abs(a - b).max())
+            print(f"shape {spc} bwd {name} maxerr: {err:.3e}")
+            ok &= err < 1e-4
+
+    # fused Ad* kernel vs the composed XLA/warp path (values + both grads),
+    # across geometry variants (whole-Y, y-blocked via res, padded)
+    import lagomorph_tpu.ops.pallas.epdiff_unit as eu
+    from lagomorph_tpu.ops.diff import jacobian_times_vectorfield as jtv
+
+    def adstar_ref(p, m):
+        return jtv(p, sample_displacement_unit(m, p), displacement=True)
+
+    for spc in ((res,) * 3, (96, 96, 96), (40, 96, 160)):
+        p_ = jnp.asarray(rng.uniform(-1.0, 0.999, (B, 3) + spc), dtype=jnp.float32)
+        m_ = jnp.asarray(rng.standard_normal((B, 3) + spc), dtype=jnp.float32)
+        g_ = jnp.asarray(rng.standard_normal((B, 3) + spc), dtype=jnp.float32)
+        if not eu.ad_star_supported(p_.shape, m_.shape, p_.dtype):
+            print(f"adstar {spc}: not supported (skipped)")
+            continue
+        got = eu.ad_star_unit_pallas(p_, m_)
+        ref = adstar_ref(p_, m_)
+        err = float(jnp.abs(got - ref).max())
+        print(f"adstar {spc} fwd maxerr: {err:.3e}")
+        ok &= err < 1e-4
+        _, vjp_f = jax.vjp(eu.ad_star_unit_pallas, p_, m_)
+        _, vjp_r = jax.vjp(adstar_ref, p_, m_)
+        gf, gr = vjp_f(g_), vjp_r(g_)
+        for name, a, b in (("d_p", gf[0], gr[0]), ("d_m0", gf[1], gr[1])):
+            err = float(jnp.abs(a - b).max())
+            print(f"adstar {spc} bwd {name} maxerr: {err:.3e}")
+            ok &= err < 1e-3
+
+    # fused composition kernel vs the composed path (values + both grads)
+    for spc in ((res,) * 3, (96, 96, 96)):
+        p_ = jnp.asarray(rng.uniform(-3.0, 3.0, (B, 3) + spc), dtype=jnp.float32)
+        v_ = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 3) + spc), dtype=jnp.float32)
+        g_ = jnp.asarray(rng.standard_normal((B, 3) + spc), dtype=jnp.float32)
+        s = 0.2
+        if not eu.compose_supported(p_.shape, v_.shape, p_.dtype):
+            print(f"compose {spc}: not supported (skipped)")
+            continue
+
+        def comp_ref(p, v):
+            return s * v + sample_displacement_unit(p, s * v)
+
+        got = eu.compose_disp_vel_pallas(p_, v_, s)
+        ref = comp_ref(p_, v_)
+        err = float(jnp.abs(got - ref).max())
+        print(f"compose {spc} fwd maxerr: {err:.3e}")
+        ok &= err < 1e-5
+        _, vjp_f = jax.vjp(lambda p, v: eu.compose_disp_vel_pallas(p, v, s), p_, v_)
+        _, vjp_r = jax.vjp(comp_ref, p_, v_)
+        gf, gr = vjp_f(g_), vjp_r(g_)
+        for name, a, b in (("d_p", gf[0], gr[0]), ("d_v", gf[1], gr[1])):
+            err = float(jnp.abs(a - b).max())
+            print(f"compose {spc} bwd {name} maxerr: {err:.3e}")
+            ok &= err < 1e-4
+
     # end-to-end expmap consistency: pallas on vs off
     metric = lm.FluidMetric([0.05, 0.0, 0.05])
     m = jnp.asarray(rng.standard_normal((B, 3) + sp) * 1e-6, dtype=jnp.float32)
@@ -79,6 +155,7 @@ def main():
     gerr = float(jnp.abs(g1_ - g0_).max())
     print(f"expmap value relerr: {verr:.3e}, grad maxerr: {gerr:.3e}")
     ok &= verr < 1e-5
+    ok &= gerr < 1e-4
 
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)

@@ -334,3 +334,34 @@ def test_lddmm_atlas_cli_loader_flags(rng, tmp_path):
     with h5py.File(outp, "r") as f:
         assert f["atlas"].shape[-1] == 8
         assert f["momenta"].shape[0] == 4
+
+
+def test_lddmm_atlas_bf16_image_storage(rng):
+    """bf16 image storage trains close to the f32 run (storage-only
+    rounding: compute stays f32)."""
+    from lagomorph_tpu.lddmm import LDDMMAtlasBuilder
+
+    imgs = make_synth_images(rng, n=4, res=12)
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+
+    def run(image_dtype):
+        b = LDDMMAtlasBuilder(
+            list(imgs),
+            num_epochs=2,
+            batch_size=4,
+            lddmm_integration_steps=2,
+            metric=metric,
+            learning_rate_pose=1e-3,
+            learning_rate_image=1e2,
+            image_dtype=image_dtype,
+            progress_bar=False,
+        )
+        b.run()
+        return np.asarray(b.I), np.asarray(b.iter_losses)
+
+    I32, l32 = run(None)
+    I16, l16 = run("bfloat16")
+    assert np.isfinite(l16).all()
+    # bf16 has ~3 decimal digits; trajectories stay close
+    assert np.allclose(l16, l32, rtol=2e-2)
+    assert np.allclose(I16, I32, rtol=0, atol=2e-2 * np.abs(I32).max())
