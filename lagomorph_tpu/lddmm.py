@@ -62,9 +62,14 @@ def expmap(
     checkpoints=False,
     transport_mode=None,
     compose_mode=None,
+    v0=None,
 ):
     """Geodesic shooting: given initial momentum ``m0`` compute the inverse
     deformation ``phi^{-1}`` at time ``T`` (reference lddmm.py:73-105).
+
+    ``v0``: optional precomputed ``metric.sharp(m0*mommask)`` — lets callers
+    that also need the initial velocity (e.g. the atlas loss's regularizer)
+    share one fluid solve with the peeled first integration step.
 
     ``checkpoints``: if truthy, wrap each integration step in
     ``jax.checkpoint`` so the backward pass rematerializes instead of
@@ -75,9 +80,20 @@ def expmap(
     always valid, and ``transport_mode="bounded"`` is valid whenever the
     total deformation stays within the tier radius (2 voxels).
     """
-    if phiinv is None:
-        phiinv = jnp.zeros_like(m0)
     dt = T / num_steps
+    length = num_steps
+    if phiinv is None:
+        # Peel the first step: from phiinv = 0, Ad*(0, m0) = m0 exactly and
+        # compose_disp_vel(0, v, -dt) = -dt*v exactly (warp of the zero
+        # field is zero), so step 1 is one sharp and an axpy — bit-identical
+        # to running it through the scan, minus a warp+jtv+compose.
+        if v0 is None:
+            m = m0 if mommask is None else m0 * mommask
+            v0 = metric.sharp(m)
+        phiinv = (-dt) * v0
+        length = num_steps - 1
+    if length <= 0:
+        return phiinv
 
     def step(phiinv, _):
         return EPDiff_step(
@@ -87,7 +103,7 @@ def expmap(
 
     if checkpoints:
         step = jax.checkpoint(step)
-    phiinv, _ = jax.lax.scan(step, phiinv, None, length=num_steps)
+    phiinv, _ = jax.lax.scan(step, phiinv, None, length=length)
     return phiinv
 
 
@@ -140,7 +156,11 @@ def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
     ``mask``: optional (B,) 0/1 weights for padded subjects (used when the
     batch is padded up to a mesh-divisible size); with mask all-ones this is
     exactly the reference loss."""
-    h = expmap(metric, m, num_steps=integration_steps, checkpoints=checkpoints)
+    # one fluid solve serves both the regularizer and the peeled first
+    # integration step (bit-identical to computing them separately)
+    v = metric.sharp(m)
+    h = expmap(metric, m, num_steps=integration_steps, checkpoints=checkpoints,
+               v0=v)
     regrid_momenta = image_shape is not None and tuple(h.shape[2:]) != tuple(image_shape)
     if regrid_momenta:
         # NOTE: the reference upscales the deformation without rescaling the
@@ -148,7 +168,6 @@ def _lddmm_loss(I, m, img, metric, reg_weight, integration_steps, checkpoints,
         # displacement=True); we reproduce that behavior for parity.
         h = regrid(h, shape=tuple(image_shape))
     Idef = deform.interp_auto(I, h)
-    v = metric.sharp(m)
     axes = tuple(range(1, img.ndim))
     sq = jnp.sum((Idef - img) ** 2, axis=axes)  # per-subject
     vm = jnp.sum(v * m, axis=tuple(range(1, m.ndim)))

@@ -121,9 +121,9 @@ class DeepLDDMMAtlas:
             # mask: (B,) 0/1 weights so batches padded up to a mesh-divisible
             # size contribute nothing (all-ones mask == the unpadded loss)
             m = net_.apply(params, img)
-            h = expmap(metric_, m, num_steps=steps_)
+            v = metric_.sharp(m)  # shared with the peeled first step
+            h = expmap(metric_, m, num_steps=steps_, v0=v)
             Idef = interp(I, h)
-            v = metric_.sharp(m)
             sq = jnp.sum((Idef - img) ** 2, axis=tuple(range(1, img.ndim)))
             vm = jnp.sum(v * m, axis=tuple(range(1, m.ndim)))
             numel = jnp.sum(mask) * float(np.prod(img.shape[1:]))

@@ -146,12 +146,12 @@ def lddmm_register(
         m0 = jnp.zeros((N, dim) + tuple(target.shape[2:]), dtype=target.dtype)
 
     def loss_fn(m):
+        v = metric.sharp(m)  # shared with the peeled first integration step
         h = expmap(
             metric, m, num_steps=integration_steps, checkpoints=checkpoints,
-            transport_mode=transport_mode, compose_mode=compose_mode,
+            transport_mode=transport_mode, compose_mode=compose_mode, v0=v,
         )
         Idef = interp(source, h)
-        v = metric.sharp(m)
         reg = reg_weight * jnp.sum(v * m) / target.size
         return _mse(Idef, target) + reg
 

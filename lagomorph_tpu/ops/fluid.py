@@ -139,7 +139,8 @@ def _safe_sqrt_jnp(x):
     return jnp.where(x < 1e-8, 1e-4, jnp.sqrt(jnp.maximum(x, 1e-8)))
 
 
-def _fluid_multiplier_traced(spatial, params, inverse, dtype):
+def _fluid_multiplier_traced(spatial, params, inverse, dtype,
+                             full_spectrum=False):
     """Traced (jnp) construction of the per-frequency multiplier entries.
 
     Same math as :func:`fluid_multiplier`, but built from iota inside the
@@ -147,12 +148,20 @@ def _fluid_multiplier_traced(spatial, params, inverse, dtype):
     negligible next to the FFTs, instead of a multi-hundred-MB baked
     constant (which at 256^3 exceeds program-size limits and wastes HBM).
 
+    ``full_spectrum``: build entries for ALL frequencies of the last axis
+    (used by the matmul-DFT path, which keeps the full complex spectrum);
+    the cos/sin LUT formulas extend verbatim.
+
     Returns a dict {(a, b): array} of the symmetric matrix entries
     (a >= b), each of shape ``freq_shape``.
     """
     alpha, beta, gamma = params
     d = len(spatial)
-    freq_shape = tuple(spatial[:-1]) + (spatial[-1] // 2 + 1,)
+    freq_shape = (
+        tuple(spatial)
+        if full_spectrum
+        else tuple(spatial[:-1]) + (spatial[-1] // 2 + 1,)
+    )
     ws, ss = [], []
     for a in range(d):
         Nf = freq_shape[a]
@@ -262,11 +271,109 @@ def _fluid_cvjp_bwd(params, inverse, _res, g):
 _fluid_cvjp.defvjp(_fluid_cvjp_fwd, _fluid_cvjp_bwd)
 
 
+# Matmul-DFT path: on TPU, a 1D DFT along an axis of length N is two N x N
+# real matmuls — MXU work instead of XLA's FFT lowering.  Worthwhile for
+# moderate axis lengths (O(N^4) matmul flops vs O(N^3 log N) FFT flops
+# cross over around N ~ 192-256 on v5e).  Relative error vs the FFT path is
+# ~4e-7 (f32, HIGHEST precision); the operator stays numerically symmetric
+# (cos/sin DFT matrices are symmetric, the multiplier is even under
+# k -> N-k), so the self-adjoint custom VJP above remains exact.
+#   "auto": use it on TPU backends for 3D fields with every axis <= 192.
+_DFT_MATMUL = "auto"
+
+
+def set_fluid_dft(mode):
+    """Select the fluid-transform implementation: True (matmul-DFT), False
+    (XLA FFT), or "auto".  Trace-time flag — retrace after changing."""
+    global _DFT_MATMUL
+    prev = _DFT_MATMUL
+    assert mode in (True, False, "auto")
+    _DFT_MATMUL = mode
+    return prev
+
+
+def _use_dft(spatial, dtype) -> bool:
+    if _DFT_MATMUL is True:
+        return True
+    if _DFT_MATMUL is False:
+        return False
+    if dtype != jnp.float32:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        backend in ("tpu", "axon")
+        and len(spatial) == 3
+        and all(n <= 192 for n in spatial)
+    )
+
+
+def _dft_pair(N, dtype, inverse):
+    """Symmetric cos/sin DFT (or normalized inverse-DFT) matrices, built
+    from iota (no baked constants)."""
+    n = jnp.arange(N, dtype=dtype)
+    sign = 2.0 if inverse else -2.0
+    ang = sign * jnp.pi * n[:, None] * n[None, :] / N
+    scale = (1.0 / N) if inverse else 1.0
+    return jnp.cos(ang) * scale, jnp.sin(ang) * scale
+
+
+def _fluid_apply_dft(mv, params, inverse):
+    """Fluid operator via per-axis DFT matmuls on the full complex spectrum
+    (kept as separate re/im real tensors)."""
+    dim = mv.shape[1]
+    spatial = tuple(mv.shape[2:])
+    dt = mv.dtype
+    hi = jax.lax.Precision.HIGHEST
+    M = _fluid_multiplier_traced(
+        spatial, tuple(float(p) for p in params), bool(inverse), dt,
+        full_spectrum=True,
+    )
+
+    def mget(a, b):
+        return M[(a, b)] if a >= b else M[(b, a)]
+
+    def transform(re, im, invdir):
+        for ax_off, N in enumerate(spatial):
+            axis = 2 + ax_off
+            C, S = _dft_pair(N, dt, invdir)
+
+            def t(x, Mx):
+                moved = jnp.moveaxis(x, axis, -1)
+                out = jnp.tensordot(moved, Mx, axes=([moved.ndim - 1], [0]),
+                                    precision=hi)
+                return jnp.moveaxis(out, -1, axis)
+
+            re, im = t(re, C) - t(im, S), t(re, S) + t(im, C)
+        return re, im
+
+    re, im = transform(mv, jnp.zeros_like(mv), False)
+    rows_re, rows_im = [], []
+    for a in range(dim):
+        acc_r = acc_i = None
+        for b in range(dim):
+            mab = mget(a, b)[None]
+            tr = mab * re[:, b]
+            ti = mab * im[:, b]
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        rows_re.append(acc_r)
+        rows_im.append(acc_i)
+    re = jnp.stack(rows_re, axis=1)
+    im = jnp.stack(rows_im, axis=1)
+    re, _ = transform(re, im, True)
+    return re.astype(mv.dtype)
+
+
 def _fluid_apply(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     dim = mv.shape[1]
     spatial = tuple(mv.shape[2:])
     if dim != len(spatial):
         raise ValueError("Vector field has incorrect shape for dimension")
+    if _use_dft(spatial, mv.dtype):
+        return _fluid_apply_dft(mv, params, inverse)
     axes = tuple(range(2, 2 + dim))
     F = jnp.fft.rfftn(mv, axes=axes, norm="ortho")
     rdtype = jnp.real(F).dtype

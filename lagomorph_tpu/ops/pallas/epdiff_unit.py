@@ -242,10 +242,18 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
     out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
 
 
+def _fwd_bx(X: int) -> int:
+    """Forward-kernel x-block: BX=16 halves the x-halo read amplification
+    vs BX=8 (block sweep at 128^3 b4: 2.00 ms vs 2.64 ms)."""
+    if X % 16 == 0:
+        return 16
+    return wu._pick_block(X)
+
+
 def _adstar_fwd_yb(ppad, mpad, X, Y, Z):
     """ppad/mpad: (N, 3, X+16, (Y+2)*Z) x/y-edge-padded, flattened lanes."""
     N = ppad.shape[0]
-    BX = wu._pick_block(X)
+    BX = _fwd_bx(X)
     BY = wu._pick_by(Y, Z)
     BL = BY * Z
     out = pl.pallas_call(
@@ -510,7 +518,7 @@ def _compose_fwd_dispatch(phiinv, v, s):
         ppad = jnp.pad(
             phiinv, [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)], mode="edge"
         )
-        BX = wu._pick_block(X)
+        BX = _fwd_bx(X)
         BY = wu._pick_by(Y, Z)
         BL = BY * Z
         out = pl.pallas_call(

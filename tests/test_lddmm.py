@@ -108,3 +108,63 @@ def test_deep_lddmm_gradient_flow(rng):
     g = jax.grad(loss)(W)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_expmap_peeled_first_step_exact(rng):
+    """expmap peels the first integration step (closed form from phiinv=0);
+    must be bit-identical to running every step through the scan."""
+    import jax
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    m = jnp.asarray(rng.standard_normal((2, 2, 8, 8)) * 5e-4)
+
+    def full_scan_expmap(m, N):
+        phiinv = jnp.zeros_like(m)
+        dt = 1.0 / N
+
+        def step(p, _):
+            return lm.EPDiff_step(metric, m, dt, p), None
+
+        p, _ = jax.lax.scan(step, phiinv, None, length=N)
+        return p
+
+    for N in (1, 2, 5):
+        a = lm.expmap(metric, m, num_steps=N)
+        b = full_scan_expmap(m, N)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), N
+
+    ga = jax.grad(lambda mm: jnp.sum(lm.expmap(metric, mm, num_steps=4) ** 2))(m)
+    gb = jax.grad(lambda mm: jnp.sum(full_scan_expmap(mm, 4) ** 2))(m)
+    assert np.array_equal(np.asarray(ga), np.asarray(gb))
+
+    # sharing v0 with the regularizer is also exact
+    v = metric.sharp(m)
+    c = lm.expmap(metric, m, num_steps=3, v0=v)
+    d = full_scan_expmap(m, 3)
+    assert np.array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_fluid_dft_matmul_matches_fft(rng):
+    """The matmul-DFT fluid path matches the FFT path to f32 tolerance and
+    stays numerically self-adjoint."""
+    from lagomorph_tpu.ops import fluid
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    m = jnp.asarray(
+        rng.standard_normal((2, 3, 8, 8, 8)), dtype=jnp.float32
+    )
+    ref_s = np.asarray(metric.sharp(m))
+    ref_f = np.asarray(metric.flat(m))
+    prev = fluid.set_fluid_dft(True)
+    try:
+        got_s = np.asarray(metric.sharp(m))
+        got_f = np.asarray(metric.flat(m))
+        x = jnp.asarray(rng.standard_normal((1, 3, 6, 6, 6)), dtype=jnp.float32)
+        y = jnp.asarray(rng.standard_normal((1, 3, 6, 6, 6)), dtype=jnp.float32)
+        lhs = float(jnp.sum(metric.sharp(x) * y))
+        rhs = float(jnp.sum(x * metric.sharp(y)))
+    finally:
+        fluid.set_fluid_dft(prev)
+    assert np.abs(got_s - ref_s).max() < 1e-5 * np.abs(ref_s).max()
+    assert np.abs(got_f - ref_f).max() < 1e-5 * np.abs(ref_f).max()
+    assert abs(lhs - rhs) < 1e-4 * abs(lhs)
