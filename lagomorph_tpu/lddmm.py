@@ -92,6 +92,21 @@ def expmap(
             v0 = metric.sharp(m)
         phiinv = (-dt) * v0
         length = num_steps - 1
+        if length <= 0:
+            return phiinv
+        # Hoisted-regime fast path (TPU fused kernels): run the whole
+        # integration with STATIC unit-tier kernels while accumulating a
+        # trajectory-validity flag; ONE cond at the end reruns the exact
+        # general path if any substep left the unit regime.  Bit-identical
+        # to the per-warp runtime tiering (each tier is exact in its
+        # regime) but without 2 conds per substep.
+        if transport_mode is None and compose_mode is None:
+            from .ops.pallas import epdiff_unit as _eu
+
+            if _eu.ad_star_supported(m0.shape, m0.shape, m0.dtype):
+                return _expmap_hoisted(
+                    metric, m0, dt, length, phiinv, mommask, checkpoints
+                )
     if length <= 0:
         return phiinv
 
@@ -105,6 +120,51 @@ def expmap(
         step = jax.checkpoint(step)
     phiinv, _ = jax.lax.scan(step, phiinv, None, length=length)
     return phiinv
+
+
+def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints):
+    """Integrate with static fused unit-tier kernels plus a trajectory
+    validity flag; one cond falls back to the exact general-tier
+    integration when the regime was ever left (rare: per-substep
+    displacements < 1 voxel is the stability condition of the Euler
+    integration itself)."""
+    from .ops.pallas import epdiff_unit as _eu
+
+    def in_unit(d):
+        return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+
+    def fast_step(carry, _):
+        phiinv, ok = carry
+        ok = jnp.logical_and(ok, in_unit(phiinv))
+        m = _eu.ad_star_unit_pallas(phiinv, m0)
+        if mommask is not None:
+            m = m * mommask
+        v = metric.sharp(m)
+        ok = jnp.logical_and(ok, in_unit(-dt * v))
+        phiinv = _eu.compose_disp_vel_pallas(phiinv, v, -dt)
+        return (phiinv, ok), None
+
+    if checkpoints:
+        fast_step = jax.checkpoint(fast_step)
+    (fast, ok), _ = jax.lax.scan(
+        fast_step, (phiinv0, jnp.asarray(True)), None, length=length
+    )
+
+    def general_fn(phiinv0_, m0_, _fast):
+        def step(phiinv, _):
+            return EPDiff_step(
+                metric, m0_, dt, phiinv, mommask=mommask,
+                transport_mode="general", compose_mode="general",
+            ), None
+
+        phiinv, _ = jax.lax.scan(
+            jax.checkpoint(step), phiinv0_, None, length=length
+        )
+        return phiinv
+
+    return jax.lax.cond(
+        ok, lambda p0, m_, f: f, general_fn, phiinv0, m0, fast
+    )
 
 
 def EPDiff_steps(metric, m0, dt, N, phiinv):

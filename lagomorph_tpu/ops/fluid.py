@@ -272,14 +272,14 @@ _fluid_cvjp.defvjp(_fluid_cvjp_fwd, _fluid_cvjp_bwd)
 
 
 # Matmul-DFT path: on TPU, a 1D DFT along an axis of length N is two N x N
-# real matmuls — MXU work instead of XLA's FFT lowering.  Worthwhile for
-# moderate axis lengths (O(N^4) matmul flops vs O(N^3 log N) FFT flops
-# cross over around N ~ 192-256 on v5e).  Relative error vs the FFT path is
-# ~4e-7 (f32, HIGHEST precision); the operator stays numerically symmetric
-# (cos/sin DFT matrices are symmetric, the multiplier is even under
-# k -> N-k), so the self-adjoint custom VJP above remains exact.
-#   "auto": use it on TPU backends for 3D fields with every axis <= 192.
+# real matmuls — MXU work instead of XLA's FFT lowering.  Validated to
+# ~2e-7 relative on v5e, but MEASURED SLOWER than XLA's FFT at 128^3 b4
+# (sharp 9.1 ms vs 5.4 ms, scripts/fft_probe.py) — f32 HIGHEST-precision
+# matmuls pay a 3x pass penalty that eats the theoretical win.  Kept as an
+# opt-in (set_fluid_dft(True)) and as the substrate for a future bf16
+# experiment; "auto" currently resolves to the FFT path everywhere.
 _DFT_MATMUL = "auto"
+_DFT_AUTO_ENABLED = False  # flip after a measurement shows DFT winning
 
 
 def set_fluid_dft(mode):
@@ -295,7 +295,7 @@ def set_fluid_dft(mode):
 def _use_dft(spatial, dtype) -> bool:
     if _DFT_MATMUL is True:
         return True
-    if _DFT_MATMUL is False:
+    if _DFT_MATMUL is False or not _DFT_AUTO_ENABLED:
         return False
     if dtype != jnp.float32:
         return False

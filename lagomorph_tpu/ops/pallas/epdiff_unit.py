@@ -70,8 +70,20 @@ def ad_star_supported(p_shape, m_shape, dtype) -> bool:
         return False
     if tuple(m_shape[2:]) != tuple(p_shape[2:]):
         return False
-    # same geometry gates as the warp kernels (I := m0 with C=3)
-    return wu.fastpath_supported(m_shape, p_shape, dtype)
+    # same geometry gates as the warp kernels (I := m0 with C=3), plus a
+    # block assignment that fits the fused forwards' scoped-VMEM budget
+    if not wu.fastpath_supported(m_shape, p_shape, dtype):
+        return False
+    X, Y, Z = p_shape[2:]
+    if wu.supported(m_shape, p_shape, dtype):
+        return True
+    if wu.yblocked_supported(m_shape, p_shape, dtype):
+        return _fwd_blocks(X, Y, Z) is not None
+    amounts = wu._pad_amounts(X, Y, Z)
+    if amounts is None:
+        return False
+    px, py, pz, whole_y = amounts
+    return whole_y or _fwd_blocks(X + px, Y + py, Z + pz) is not None
 
 
 def _weights(d, axis, o):
@@ -250,11 +262,26 @@ def _fwd_bx(X: int) -> int:
     return wu._pick_block(X)
 
 
+def _fwd_blocks(X: int, Y: int, Z: int):
+    """(BX, BY) for the fused y-blocked forwards, bounded so the two slabs
+    plus Mosaic temporaries fit scoped VMEM (~80 B per slab lane-row
+    empirically: BX=16/BY=32 at Z=256 wanted 22.2M vs the 16M limit)."""
+    for bx in (16, 8):
+        if X % bx:
+            continue
+        for by in (32, 16, 8, 4, 2):
+            if Y % by or (by + 2) * Z > 10240:
+                continue
+            if (bx + 16) * (by + 2) * Z * 80 > 15 * 1024 * 1024:
+                continue
+            return bx, by
+    return None
+
+
 def _adstar_fwd_yb(ppad, mpad, X, Y, Z):
     """ppad/mpad: (N, 3, X+16, (Y+2)*Z) x/y-edge-padded, flattened lanes."""
     N = ppad.shape[0]
-    BX = _fwd_bx(X)
-    BY = wu._pick_by(Y, Z)
+    BX, BY = _fwd_blocks(X, Y, Z)
     BL = BY * Z
     out = pl.pallas_call(
         partial(_adstar_fwd_kernel_yb, BX, BY, Y, Z),
@@ -518,8 +545,7 @@ def _compose_fwd_dispatch(phiinv, v, s):
         ppad = jnp.pad(
             phiinv, [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)], mode="edge"
         )
-        BX = _fwd_bx(X)
-        BY = wu._pick_by(Y, Z)
+        BX, BY = _fwd_blocks(X, Y, Z)
         BL = BY * Z
         out = pl.pallas_call(
             partial(_compose_fwd_kernel_yb, BX, BY, Y, Z, s),
@@ -844,19 +870,6 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     def wgt_s(axis, o):
         return _weights(psub, axis, o)  # (BXW, SL)
 
-    # mw on the 1-halo subwindow (y taps = static window slices; x from the
-    # slab halo; z via clamp rolls)
-    mw = jnp.zeros(shape_s, dtype=psl.dtype)
-    for ox in (-1, 0, 1):
-        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        wx = wgt_s(0, ox)
-        for oy in (-1, 0, 1):
-            ytap = xt[:, :, (1 + oy) * Z : (1 + oy) * Z + SL]
-            wxy = wx * wgt_s(1, oy)
-            for oz in (-1, 0, 1):
-                tap = ztap_s(ytap, oz)
-                mw = mw + (wxy * wgt_s(2, oz)) * tap
-
     # Jacobian columns on the subwindow
     xp = pltpu.roll(psl, BXW - 1, 1)[:, :, Z : Z + SL]
     xm = pltpu.roll(psl, 1, 1)[:, :, Z : Z + SL]
@@ -864,6 +877,9 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     Jy = 0.5 * (psl[:, :, 2 * Z : 2 * Z + SL] - psl[:, :, 0:SL])
     Jz = 0.5 * (ztap_s(psub, 1) - ztap_s(psub, -1))
 
+    # d_mw depends only on J and g (NOT on mw), so the warp (mw), the
+    # weight-gradient path, and the d_m0 transpose can share ONE 27-offset
+    # enumeration below — weights and taps are computed once per offset.
     d_mw = jnp.stack(
         [
             gsub[0] * Jx[0] + gsub[1] * Jx[1] + gsub[2] * Jx[2] + gsub[0],
@@ -872,36 +888,66 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         ],
         axis=0,
     )
+    d_mw_c = d_mw[:, 8 : 8 + BX, Z : Z + BL]
+    pcen = psl[:, 8 : 8 + BX, 2 * Z : 2 * Z + BL]
 
-    # d_m0: warp transpose, per-axis transposes applied sequentially (they
-    # commute).  Each axis transpose of a field Q is
-    #   (T_o^T Q)(v) = Q(v-o) + [v == clamped-edge for o] Q(v),
-    # where the Q(v-o) read past the domain is automatically zero here
-    # (zero-padded cotangent), so only the clamp FOLD needs a mask.
-    # x uses slab rolls, y uses aligned static subwindow slices, z uses
-    # lane rolls with wrap masking (the roll crosses y-row boundaries).
+    def dwc(axis, o):
+        return _dweights(pcen, axis, o)
+
+    def cslice2(w):  # (BXW, SL) weight -> its center block (BX, BL)
+        return w[8 : 8 + BX, Z : Z + BL]
+
     row_cs = jax.lax.broadcasted_iota(jnp.int32, (3, BX, SL), 1)
     gx_cs = row_cs + xb * BX
 
+    # Merged 27-offset loop computing:
+    #  * mw (warped m0 on the subwindow) — consumed by the divergence path;
+    #  * d_p weight-gradient accumulators (center taps = slices of the
+    #    subwindow taps; center weights = slices of the subwindow weights);
+    #  * d_m0 = transpose of the weighted warp: per-axis transposes applied
+    #    sequentially ((T_o^T Q)(v) = Q(v-o) + [clamped-edge] Q(v); reads
+    #    past the domain are zero because the cotangent is zero-padded, so
+    #    only the clamp FOLD needs a mask — x via slab rolls, y via aligned
+    #    static subwindow slices, z via lane rolls with wrap masking).
+    mw = jnp.zeros(shape_s, dtype=psl.dtype)
     acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
+    acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
     for ox in (-1, 0, 1):
+        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
         wx = wgt_s(0, ox)
         for oy in (-1, 0, 1):
-            wxy = wx * wgt_s(1, oy)
+            ytap = xt[:, :, (1 + oy) * Z : (1 + oy) * Z + SL]
+            wy = wgt_s(1, oy)
+            wxy = wx * wy
             for oz in (-1, 0, 1):
-                P = (wxy * wgt_s(2, oz)) * d_mw  # (3, BXW, SL)
-                # x transpose -> (3, BX, SL)
+                wz = wgt_s(2, oz)
+                w3 = wxy * wz
+                tap = ztap_s(ytap, oz)
+                mw = mw + w3 * tap
+                # weight-gradient path at center
+                tc = tap[:, 8 : 8 + BX, Z : Z + BL]
+                gt = (
+                    d_mw_c[0] * tc[0]
+                    + d_mw_c[1] * tc[1]
+                    + d_mw_c[2] * tc[2]
+                )
+                wxc, wyc, wzc = cslice2(wx), cslice2(wy), cslice2(wz)
+                acc0 = acc0 + dwc(0, ox) * wyc * wzc * gt
+                acc1 = acc1 + wxc * dwc(1, oy) * wzc * gt
+                acc2 = acc2 + wxc * wyc * dwc(2, oz) * gt
+                # d_m0 transpose
+                P = w3 * d_mw  # (3, BXW, SL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
                     xedge = (gx_cs == 0) if ox == -1 else (gx_cs == X - 1)
                     Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
-                # y transpose -> (3, BX, BL)
                 A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
                 if oy != 0:
                     yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
                     A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
-                # z transpose (lane roll wraps across y rows: mask it)
                 if oz != 0:
                     wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
                     Ar = pltpu.roll(A, oz % BL, 2)
@@ -910,42 +956,6 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                     A = A2 + jnp.where(zedge, A, 0.0)
                 acc_dm = acc_dm + A
     dm_ref[0] = acc_dm
-
-    # d_p: weight-gradient path at center
-    pcen = psl[:, 8 : 8 + BX, 2 * Z : 2 * Z + BL]
-    d_mw_c = d_mw[:, 8 : 8 + BX, Z : Z + BL]
-
-    def wc(axis, o):
-        return _weights(pcen, axis, o)
-
-    def dwc(axis, o):
-        return _dweights(pcen, axis, o)
-
-    def ztap_c(A, oz):
-        if oz == 0:
-            return A
-        rolled = pltpu.roll(A, (-oz) % BL, 2)
-        edge = z_c == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
-
-    acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
-    acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
-    acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
-    for ox in (-1, 0, 1):
-        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        for oy in (-1, 0, 1):
-            ytap = xt[:, 8 : 8 + BX, (2 + oy) * Z : (2 + oy) * Z + BL]
-            for oz in (-1, 0, 1):
-                tap = ztap_c(ytap, oz)
-                gt = (
-                    d_mw_c[0] * tap[0]
-                    + d_mw_c[1] * tap[1]
-                    + d_mw_c[2] * tap[2]
-                )
-                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
-                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
-                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
 
     # d_p: divergence path sum_a D_a^T (g * mw_a)
     div = jnp.zeros(shape_c, dtype=psl.dtype)
@@ -991,7 +1001,9 @@ def _pick_by_bwd(Y: int, Z: int) -> int:
     resident slabs plus mw/d_mw/q temporaries — keep the window small: BY=16
     at Z=128 overflowed the 16M scoped-vmem limit by 48K)."""
     for by in (8, 4, 2):
-        if Y % by == 0 and (by + 4) * Z <= 4096:
+        # window <= 1536 lanes — the largest scoped-vmem-validated
+        # configuration (BY=8 at Z=128); Z=256 then gets BY=2
+        if Y % by == 0 and (by + 4) * Z <= 1536:
             return by
     return 0
 
@@ -1298,6 +1310,16 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
 
+def _pick_by_cbwd(Y: int, Z: int) -> int:
+    """y-block for the fused compose backward: window <= 4352 lanes (the
+    scoped-vmem-validated BY=32 at Z=128 envelope; BY=32 at Z=256 wanted
+    21.1M vs the 16M limit)."""
+    for by in (32, 16, 8, 4, 2):
+        if Y % by == 0 and (by + 2) * Z <= 4352:
+            return by
+    return 0
+
+
 def _compose_bwd_fused_dispatch(phiinv, v, s, g):
     """Fused compose backward; None when no kernel geometry applies."""
     N = phiinv.shape[0]
@@ -1334,9 +1356,9 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
             ],
         )(ppad, vpad, gpad)
         return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
-    if wu.yblocked_supported(shp, v.shape, v.dtype):
+    if wu.yblocked_supported(shp, v.shape, v.dtype) and _pick_by_cbwd(Y, Z):
         BX = wu._pick_block(X)
-        BY = wu._pick_by(Y, Z)
+        BY = _pick_by_cbwd(Y, Z)
         BL = BY * Z
         w1 = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
         ppad = jnp.pad(phiinv, w1, mode="edge").reshape(N, 3, X + 16, (Y + 2) * Z)

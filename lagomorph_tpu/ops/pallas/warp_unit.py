@@ -602,8 +602,14 @@ def _warp_unit_fwd_yb(Ipad, disp):
     """Ipad: (N, C, X+16, Y+2, Z) x/y-edge-padded; disp: (N, 3, X, Y, Z)."""
     N, C = Ipad.shape[:2]
     X, Y, Z = disp.shape[2:]
-    # BX=16 halves the x-halo read amplification (block sweep, 128^3 b4)
-    BX = 16 if X % 16 == 0 else _pick_block(X)
+    # BX=16 halves the x-halo read amplification (block sweep, 128^3 b4),
+    # within the known-good scoped-VMEM envelope (32 rows x 34*128 lanes)
+    BY_est = _pick_by(Y, Z)
+    BX = (
+        16
+        if X % 16 == 0 and 32 * (BY_est + 2) * Z <= 32 * 34 * 128
+        else _pick_block(X)
+    )
     BY = _pick_by(Y, Z)
     BL = BY * Z
     grid = (N, X // BX, Y // BY)

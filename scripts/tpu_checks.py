@@ -157,6 +157,25 @@ def main():
     ok &= verr < 1e-5
     ok &= gerr < 1e-4
 
+    # hoisted-regime dispatch: in-regime momenta must take the fused fast
+    # path and match the per-warp static path; out-of-regime momenta must
+    # fall back to the general tier and match it
+    msmall = jnp.asarray(rng.standard_normal((B, 3) + sp) * 1e-6, dtype=jnp.float32)
+    mbig = jnp.asarray(rng.standard_normal((B, 3) + sp) * 0.3, dtype=jnp.float32)
+    for name, mm, tmode, cmode in (
+        ("hoisted-in-regime", msmall, "unit", "unit"),
+        ("hoisted-fallback", mbig, "general", "general"),
+    ):
+        h_auto = jax.jit(lambda m_: lm.expmap(metric, m_, num_steps=3))(mm)
+        h_ref = jax.jit(
+            lambda m_: lm.expmap(metric, m_, num_steps=3,
+                                 transport_mode=tmode, compose_mode=cmode)
+        )(mm)
+        scale = max(float(jnp.abs(h_ref).max()), 1e-30)
+        err = float(jnp.abs(h_auto - h_ref).max()) / scale
+        print(f"{name} relerr: {err:.3e}")
+        ok &= err < 1e-5
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
