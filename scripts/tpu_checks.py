@@ -145,10 +145,12 @@ def main():
         h = lm.expmap(metric, m, num_steps=3)
         return jnp.sum(h * h)
 
-    v1, g1_ = jax.value_and_grad(shoot_loss)(m)
+    # jit: eager per-op dispatch of the FFT is unsupported on the remote
+    # backend (and slow everywhere)
+    v1, g1_ = jax.jit(jax.value_and_grad(shoot_loss))(m)
     prev = wu.set_pallas_warp(False)
     try:
-        v0, g0_ = jax.value_and_grad(shoot_loss)(m)
+        v0, g0_ = jax.jit(jax.value_and_grad(shoot_loss))(m)
     finally:
         wu.set_pallas_warp(prev)
     verr = abs(float(v1) - float(v0)) / max(abs(float(v0)), 1e-30)

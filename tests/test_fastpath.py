@@ -205,3 +205,45 @@ def test_lddmm_register_static_modes(rng):
     )
     assert np.allclose(np.asarray(m_a), np.asarray(m_s), atol=1e-10)
     assert np.allclose(np.asarray(loss_a), np.asarray(loss_s), atol=1e-10)
+
+
+def test_pad_amounts_geometry():
+    """_pad_amounts must return kernel-compatible padded geometries."""
+    from lagomorph_tpu.ops.pallas import warp_unit as wu
+
+    for X, Y, Z in ((96, 96, 96), (40, 96, 160), (24, 36, 40), (64, 64, 64),
+                    (17, 19, 23), (128, 128, 128), (8, 2, 2)):
+        amounts = wu._pad_amounts(X, Y, Z)
+        assert amounts is not None, (X, Y, Z)
+        px, py, pz, whole_y = amounts
+        Xp, Yp, Zp = X + px, Y + py, Z + pz
+        assert Xp % 8 == 0
+        if whole_y:
+            assert (Yp * Zp) % 128 == 0
+            assert Yp * Zp <= 8192
+        else:
+            assert Zp % 128 == 0
+            assert wu._pick_by(Yp, Zp) != 0
+
+
+def test_fold_unpad_is_edge_pad_transpose(rng):
+    """_fold_unpad must equal the transpose of end-edge-padding for
+    cotangents whose mass lies within one plane past each edge (the reach
+    of a |tap| <= 1 stencil)."""
+    import jax
+    from lagomorph_tpu.ops.pallas.warp_unit import _fold_unpad
+
+    X, Y, Z = 5, 6, 7
+    px, py, pz = 3, 2, 5
+    x0 = jnp.asarray(rng.standard_normal((2, 3, X, Y, Z)))
+    widths = [(0, 0), (0, 0), (0, px), (0, py), (0, pz)]
+    _, vjp = jax.vjp(lambda a: jnp.pad(a, widths, mode="edge"), x0)
+
+    d = np.zeros((2, 3, X + px, Y + py, Z + pz))
+    d[:, :, : X + 1, : Y + 1, : Z + 1] = rng.standard_normal(
+        (2, 3, X + 1, Y + 1, Z + 1)
+    )
+    d = jnp.asarray(d)
+    expected = np.asarray(vjp(d)[0])
+    got = np.asarray(_fold_unpad(d, X, Y, Z))
+    assert np.allclose(got, expected, atol=1e-12)
