@@ -29,13 +29,18 @@ from .sampling import (
 )
 
 
-def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
+def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0,
+           background: str = "clamp", background_value: float = 0.0) -> jnp.ndarray:
     """Deform image/vector field ``I`` by displacement ``u``.
 
     Args:
       I: ``(NI, C, *spatial)``; ``NI in {1, N}`` (1 broadcasts over batch).
       u: ``(N, dim, *spatial)`` displacement field in voxel units.
       dt: time-step scaling applied to ``u``.
+      background: boundary strategy — ``"clamp"`` (default, the reference
+        Python API's only choice), ``"wrap"``, ``"zero"``, or ``"val"``
+        with ``background_value`` (the full BackgroundStrategy tier of the
+        reference's extrap.h:40-57).
 
     Returns:
       ``(N, C, *spatial)`` with ``out(x) = I(x + dt*u(x))``.
@@ -44,7 +49,8 @@ def interp(I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0) -> jnp.ndarray:
     spatial = u.shape[2:]
     grid = identity_grid(spatial, dtype=u.dtype)
     coords = grid[None] + dt * u
-    return sample_linear(I, coords)
+    return sample_linear(I, coords, background=background,
+                         background_value=background_value)
 
 
 # Global warp-path mode:

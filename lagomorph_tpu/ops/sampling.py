@@ -36,17 +36,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_one(I: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+BACKGROUND_STRATEGIES = ("clamp", "wrap", "zero", "val")
+
+
+def _sample_one(I: jnp.ndarray, coords: jnp.ndarray, background: str = "clamp",
+                background_value: float = 0.0) -> jnp.ndarray:
     """Sample one multi-channel image at fractional voxel coordinates.
 
     Args:
       I: ``(C, *spatial)`` image.
       coords: ``(dim, *out_spatial)`` voxel coordinates (fractional, may lie
-        outside the domain; CLAMP boundary applies).
+        outside the domain).
+      background: boundary strategy — the full set of the reference's
+        extrapolation header (extension/include/extrap.h:40-57):
+        ``"clamp"`` (replicate edge, the reference Python API's default),
+        ``"wrap"`` (periodic), ``"zero"`` / ``"val"`` (out-of-range stencil
+        corners contribute ``background_value``; 0 for "zero").
 
     Returns:
       ``(C, *out_spatial)`` sampled values.
     """
+    if background not in BACKGROUND_STRATEGIES:
+        raise ValueError(f"unknown background strategy {background!r}")
     dim = coords.shape[0]
     spatial = I.shape[1:]
     if len(spatial) != dim:
@@ -57,6 +68,7 @@ def _sample_one(I: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     floor = jnp.floor(coords)
     frac = coords - floor  # weights from unclamped coordinates
     floor = floor.astype(jnp.int32)
+    bg = 0.0 if background == "zero" else background_value
 
     # strides for linearized spatial index
     strides = []
@@ -72,12 +84,22 @@ def _sample_one(I: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     for corner in itertools.product((0, 1), repeat=dim):
         lin = jnp.zeros(out_spatial, dtype=jnp.int32)
         w = None
+        valid = None
         for d in range(dim):
-            idx = jnp.clip(floor[d] + corner[d], 0, spatial[d] - 1)
+            raw = floor[d] + corner[d]
+            if background == "wrap":
+                idx = jnp.mod(raw, spatial[d])
+            else:
+                idx = jnp.clip(raw, 0, spatial[d] - 1)
+            if background in ("zero", "val"):
+                vd = jnp.logical_and(raw >= 0, raw < spatial[d])
+                valid = vd if valid is None else jnp.logical_and(valid, vd)
             lin = lin + idx * strides[d]
             wd = frac[d] if corner[d] else 1.0 - frac[d]
             w = wd if w is None else w * wd
         vals = jnp.take(Iflat, lin.reshape(-1), axis=1).reshape((C,) + out_spatial)
+        if valid is not None:
+            vals = jnp.where(valid[None], vals, jnp.asarray(bg, dtype=I.dtype))
         out = out + w[None] * vals
     return out
 
@@ -118,22 +140,29 @@ def _splat_one(values: jnp.ndarray, coords: jnp.ndarray, spatial: tuple) -> jnp.
     return out.reshape((C,) + tuple(spatial))
 
 
-def sample_linear(I: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def sample_linear(I: jnp.ndarray, coords: jnp.ndarray, background: str = "clamp",
+                  background_value: float = 0.0) -> jnp.ndarray:
     """Batched multilinear sampling with image-batch broadcasting.
 
     Args:
       I: ``(NI, C, *spatial)`` images; ``NI`` may be 1 to broadcast over the
         coordinate batch (reference: interp.cu:90-92, affine.cu:126).
       coords: ``(N, dim, *out_spatial)`` voxel coordinates.
+      background: boundary strategy (``"clamp"``/``"wrap"``/``"zero"``/
+        ``"val"``, see :func:`_sample_one`); ``"clamp"`` is the reference
+        default (extension/include/defs.h:13) and the only strategy its
+        Python API reaches.
 
     Returns:
       ``(N, C, *out_spatial)``.
     """
     N = coords.shape[0]
+    f = partial(_sample_one, background=background,
+                background_value=background_value)
     if I.shape[0] == N:
-        return jax.vmap(_sample_one)(I, coords)
+        return jax.vmap(f)(I, coords)
     elif I.shape[0] == 1:
-        return jax.vmap(_sample_one, in_axes=(None, 0))(I[0], coords)
+        return jax.vmap(f, in_axes=(None, 0))(I[0], coords)
     else:
         raise ValueError(f"Incompatible batch sizes I={I.shape[0]}, coords={N}")
 

@@ -111,3 +111,76 @@ def test_interp_hessian_diagonal_image(rng):
     # Hessian of 0.5*||f(I) - y||^2 diag = diag(J^T J)
     dense = (J * J).sum(axis=0).reshape(sp)
     assert np.allclose(H[0, 0, 2:-2, 2:-2], dense[2:-2, 2:-2], atol=1e-10)
+
+
+def _np_sample(I, coords, background, bg=0.0):
+    """Brute-force numpy reference for multilinear sampling with the four
+    reference boundary strategies (extrap.h:40-57)."""
+    import itertools as it
+
+    C = I.shape[0]
+    dim = coords.shape[0]
+    spatial = I.shape[1:]
+    out_sp = coords.shape[1:]
+    out = np.zeros((C,) + out_sp)
+    floor = np.floor(coords).astype(int)
+    frac = coords - np.floor(coords)
+    for idx in np.ndindex(*out_sp):
+        for corner in it.product((0, 1), repeat=dim):
+            w = 1.0
+            pos = []
+            valid = True
+            for d in range(dim):
+                raw = floor[(d,) + idx] + corner[d]
+                w *= frac[(d,) + idx] if corner[d] else 1.0 - frac[(d,) + idx]
+                if background == "wrap":
+                    pos.append(raw % spatial[d])
+                elif background == "clamp":
+                    pos.append(min(max(raw, 0), spatial[d] - 1))
+                else:
+                    if raw < 0 or raw >= spatial[d]:
+                        valid = False
+                        pos.append(0)
+                    else:
+                        pos.append(raw)
+            for c in range(C):
+                v = I[(c,) + tuple(pos)] if valid else bg
+                out[(c,) + idx] += w * v
+    return out
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("background", ["clamp", "wrap", "zero", "val"])
+def test_background_strategies(rng, dim, background):
+    """sample_linear with every reference BackgroundStrategy matches a
+    brute-force numpy implementation, with coordinates far out of range."""
+    from lagomorph_tpu.ops.sampling import sample_linear
+
+    sp = (5,) * dim
+    I = rng.standard_normal((1, 2) + sp)
+    coords = rng.uniform(-4.0, 9.0, (1, dim) + sp)
+    got = np.asarray(
+        sample_linear(jnp.asarray(I), jnp.asarray(coords),
+                      background=background, background_value=0.7)
+    )
+    want = _np_sample(I[0], coords[0], background,
+                      bg=0.7 if background == "val" else 0.0)
+    assert np.allclose(got[0], want, atol=1e-10), np.abs(got[0] - want).max()
+
+
+def test_interp_background_param(rng):
+    """interp exposes the background strategies; clamp remains default."""
+    from lagomorph_tpu.ops.interp import interp
+
+    sp = (6, 6)
+    I = jnp.asarray(rng.standard_normal((1, 1) + sp))
+    u = jnp.asarray(rng.uniform(-3, 3, (1, 2) + sp))
+    base = interp(I, u)
+    clamped = interp(I, u, background="clamp")
+    assert np.array_equal(np.asarray(base), np.asarray(clamped))
+    z = interp(I, u, background="zero")
+    w = interp(I, u, background="wrap")
+    assert not np.allclose(np.asarray(z), np.asarray(base))
+    assert np.isfinite(np.asarray(w)).all()
+    with pytest.raises(ValueError):
+        interp(I, u, background="reflect")
