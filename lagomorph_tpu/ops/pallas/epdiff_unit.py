@@ -910,10 +910,10 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     #    only the clamp FOLD needs a mask — x via slab rolls, y via aligned
     #    static subwindow slices, z via lane rolls with wrap masking).
     mw = jnp.zeros(shape_s, dtype=psl.dtype)
-    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    accs_xy = {}  # (oy, oz) -> sum over ox of x-transposed P, (3, BX, SL)
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
         wx = wgt_s(0, ox)
@@ -937,24 +937,36 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                 acc0 = acc0 + dwc(0, ox) * wyc * wzc * gt
                 acc1 = acc1 + wxc * dwc(1, oy) * wzc * gt
                 acc2 = acc2 + wxc * wyc * dwc(2, oz) * gt
-                # d_m0 transpose
+                # d_m0: x-transpose here; y/z transposes factored below
+                # (the per-axis transposes distribute over the offset sum:
+                # sum_o Tz Ty Tx P_o = sum_oz Tz[ sum_oy Ty[ sum_ox Tx P ]],
+                # cutting 27+27 y/z transposes to 9+3)
                 P = w3 * d_mw  # (3, BXW, SL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
                     xedge = (gx_cs == 0) if ox == -1 else (gx_cs == X - 1)
                     Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
-                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-                if oy != 0:
-                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
-                if oz != 0:
-                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
-                    Ar = pltpu.roll(A, oz % BL, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
-                    A = A2 + jnp.where(zedge, A, 0.0)
-                acc_dm = acc_dm + A
+                key = (oy, oz)
+                accs_xy[key] = Ax if key not in accs_xy else accs_xy[key] + Ax
+
+    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
+    for oz in (-1, 0, 1):
+        acc_z = jnp.zeros(shape_c, dtype=psl.dtype)
+        for oy in (-1, 0, 1):
+            Axy = accs_xy[(oy, oz)]
+            A = Axy[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+            if oy != 0:
+                yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                A = A + jnp.where(yedge, Axy[:, :, Z : Z + BL], 0.0)
+            acc_z = acc_z + A
+        if oz != 0:
+            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+            Ar = pltpu.roll(acc_z, oz % BL, 2)
+            A2 = jnp.where(wrap, 0.0, Ar)
+            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
+        acc_dm = acc_dm + acc_z
     dm_ref[0] = acc_dm
 
     # d_p: divergence path sum_a D_a^T (g * mw_a)
@@ -1149,8 +1161,9 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         return _weights(dsl, axis, o)
 
     # d_phiinv: warp transpose of W * g (same algebra as the Ad* backward's
-    # d_m0 block)
-    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    # d_m0 block), with the per-axis transposes factored over the offset
+    # sum: x at 27, y at 9, z at 3
+    accs_xy = {}
     for ox in (-1, 0, 1):
         wx = wgt(0, ox)
         for oy in (-1, 0, 1):
@@ -1162,19 +1175,28 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                 if ox != 0:
                     edge = (gx_c == 0) if ox == -1 else (gx_c == X - 1)
                     A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
-                if oy != 0:
-                    wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
-                    Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
-                    A = A2 + jnp.where(edge, A, 0.0)
-                if oz != 0:
-                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
-                    Ar = pltpu.roll(A, oz % YZ, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
-                    A = A2 + jnp.where(zedge, A, 0.0)
-                acc_dp = acc_dp + A
+                key = (oy, oz)
+                accs_xy[key] = A if key not in accs_xy else accs_xy[key] + A
+
+    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    for oz in (-1, 0, 1):
+        acc_z = jnp.zeros(shape_c, dtype=psl.dtype)
+        for oy in (-1, 0, 1):
+            A = accs_xy[(oy, oz)]
+            if oy != 0:
+                wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
+                Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
+                A2 = jnp.where(wrap, 0.0, Ar)
+                edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
+                A = A2 + jnp.where(edge, A, 0.0)
+            acc_z = acc_z + A
+        if oz != 0:
+            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+            Ar = pltpu.roll(acc_z, oz % YZ, 2)
+            A2 = jnp.where(wrap, 0.0, Ar)
+            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
+        acc_dp = acc_dp + acc_z
     dp_ref[0] = acc_dp
 
     # d_v: s*g + s * weight-gradient path at center rows
@@ -1250,7 +1272,9 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     def wgt(axis, o):
         return _weights(dsl, axis, o)  # (BXW, WL)
 
-    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    # factored transposes: x at 27, y at 9, z at 3 (the per-axis transposes
+    # distribute over the offset sum)
+    accs_xy = {}
     for ox in (-1, 0, 1):
         wx = wgt(0, ox)
         for oy in (-1, 0, 1):
@@ -1262,17 +1286,26 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                 if ox != 0:
                     xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
                     Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
-                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-                if oy != 0:
-                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
-                if oz != 0:
-                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
-                    Ar = pltpu.roll(A, oz % BL, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
-                    A = A2 + jnp.where(zedge, A, 0.0)
-                acc_dp = acc_dp + A
+                key = (oy, oz)
+                accs_xy[key] = Ax if key not in accs_xy else accs_xy[key] + Ax
+
+    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
+    for oz in (-1, 0, 1):
+        acc_z = jnp.zeros(shape_c, dtype=psl.dtype)
+        for oy in (-1, 0, 1):
+            Axy = accs_xy[(oy, oz)]
+            A = Axy[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+            if oy != 0:
+                yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                A = A + jnp.where(yedge, Axy[:, :, Z : Z + BL], 0.0)
+            acc_z = acc_z + A
+        if oz != 0:
+            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+            Ar = pltpu.roll(acc_z, oz % BL, 2)
+            A2 = jnp.where(wrap, 0.0, Ar)
+            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
+        acc_dp = acc_dp + acc_z
     dp_ref[0] = acc_dp
 
     # d_v at center

@@ -348,7 +348,9 @@ def _bwd_dI_kernel(BX, Y, Z, C, X,
     row_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 0)
     gx_b = row_b + xb * BX
 
-    acc_dI = jnp.zeros(blk_shape, dtype=g_slab.dtype)
+    # per-axis transposes factored over the offset sum (x at 27, y at 9,
+    # z at 3): sum_o Tz Ty Tx P_o = sum_oz Tz[ sum_oy Ty[ sum_ox Tx P ]]
+    accs_xy = {}
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -358,19 +360,28 @@ def _bwd_dI_kernel(BX, Y, Z, C, X,
                 if ox != 0:
                     edge = (gx_b == 0) if ox == -1 else (gx_b == X - 1)
                     A = A + jnp.where(edge, P[8 : 8 + BX, :], 0.0)
-                if oy != 0:
-                    wrap = (y_idx_b == 0) if oy == 1 else (y_idx_b == Y - 1)
-                    Ar = pltpu.roll(A, (oy * Z) % YZ, 1)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = (y_idx_b == 0) if oy == -1 else (y_idx_b == Y - 1)
-                    A = A2 + jnp.where(edge, A, 0.0)
-                if oz != 0:
-                    wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
-                    Ar = pltpu.roll(A, oz % YZ, 1)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
-                    A = A2 + jnp.where(edge, A, 0.0)
-                acc_dI = acc_dI + A
+                key = (oy, oz)
+                accs_xy[key] = A if key not in accs_xy else accs_xy[key] + A
+
+    acc_dI = jnp.zeros(blk_shape, dtype=g_slab.dtype)
+    for oz in (-1, 0, 1):
+        acc_z = jnp.zeros(blk_shape, dtype=g_slab.dtype)
+        for oy in (-1, 0, 1):
+            A = accs_xy[(oy, oz)]
+            if oy != 0:
+                wrap = (y_idx_b == 0) if oy == 1 else (y_idx_b == Y - 1)
+                Ar = pltpu.roll(A, (oy * Z) % YZ, 1)
+                A2 = jnp.where(wrap, 0.0, Ar)
+                edge = (y_idx_b == 0) if oy == -1 else (y_idx_b == Y - 1)
+                A = A2 + jnp.where(edge, A, 0.0)
+            acc_z = acc_z + A
+        if oz != 0:
+            wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
+            Ar = pltpu.roll(acc_z, oz % YZ, 1)
+            A2 = jnp.where(wrap, 0.0, Ar)
+            edge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
+            acc_z = A2 + jnp.where(edge, acc_z, 0.0)
+        acc_dI = acc_dI + acc_z
     dI_ref[0, 0] = acc_dI
 
 
@@ -685,7 +696,8 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
     row_w = jax.lax.broadcasted_iota(jnp.int32, (BX, WL), 0)
     gx_w = row_w + xb * BX
 
-    acc_dI = jnp.zeros(blk_shape, dtype=jnp.float32)
+    # factored per-axis transposes (x at 27, y at 9, z at 3)
+    accs_xy = {}
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -696,21 +708,30 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
                 if ox != 0:
                     xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
                     Bw = Bw + jnp.where(xedge, P[8 : 8 + BX, :], 0.0)
-                # y transpose: window roll by +oy*Z, center slice (zero pad
-                # swallows out-of-domain; wraps land outside the center)
-                Ar = pltpu.roll(Bw, (oy * Z) % WL, 1) if oy != 0 else Bw
-                A = Ar[:, Z : Z + BL]
-                if oy != 0:
-                    yedge = (gy_b == 0) if oy == -1 else (gy_b == Y - 1)
-                    A = A + jnp.where(yedge, Bw[:, Z : Z + BL], 0.0)
-                # z transpose on the center block
-                if oz != 0:
-                    wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
-                    Az = pltpu.roll(A, oz % BL, 1)
-                    A2 = jnp.where(wrap, 0.0, Az)
-                    zedge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
-                    A = A2 + jnp.where(zedge, A, 0.0)
-                acc_dI = acc_dI + A
+                key = (oy, oz)
+                accs_xy[key] = Bw if key not in accs_xy else accs_xy[key] + Bw
+
+    acc_dI = jnp.zeros(blk_shape, dtype=jnp.float32)
+    for oz in (-1, 0, 1):
+        acc_z = jnp.zeros(blk_shape, dtype=jnp.float32)
+        for oy in (-1, 0, 1):
+            Bw = accs_xy[(oy, oz)]
+            # y transpose: window roll by +oy*Z, center slice (zero pad
+            # swallows out-of-domain; wraps land outside the center)
+            Ar = pltpu.roll(Bw, (oy * Z) % WL, 1) if oy != 0 else Bw
+            A = Ar[:, Z : Z + BL]
+            if oy != 0:
+                yedge = (gy_b == 0) if oy == -1 else (gy_b == Y - 1)
+                A = A + jnp.where(yedge, Bw[:, Z : Z + BL], 0.0)
+            acc_z = acc_z + A
+        # z transpose on the center block
+        if oz != 0:
+            wrap = (z_idx_b == 0) if oz == 1 else (z_idx_b == Z - 1)
+            Az = pltpu.roll(acc_z, oz % BL, 1)
+            A2 = jnp.where(wrap, 0.0, Az)
+            zedge = (z_idx_b == 0) if oz == -1 else (z_idx_b == Z - 1)
+            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
+        acc_dI = acc_dI + acc_z
     dI_ref[0, 0] = acc_dI
 
 

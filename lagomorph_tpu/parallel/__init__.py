@@ -23,6 +23,10 @@ from .distributed import (
     local_shard,
     allsum_hosts,
 )
+from .sharded_fft import (
+    sharded_fluid_operator,
+    ShardedFluidMetric,
+)
 
 __all__ = [
     "get_mesh",
@@ -37,4 +41,6 @@ __all__ = [
     "put_global",
     "local_shard",
     "allsum_hosts",
+    "sharded_fluid_operator",
+    "ShardedFluidMetric",
 ]

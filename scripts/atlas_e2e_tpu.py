@@ -31,7 +31,7 @@ builder = lm.LDDMMAtlasBuilder(
     learning_rate_image=50.0,
     metric=lm.FluidMetric([0.05, 0.0, 0.05]),
     keep_data_on_device=os.environ.get("LM_ON_DEVICE", "1") == "1",
-    loader_workers=int(os.environ.get("LM_WORKERS", "1")),
+    loader_workers=int(os.environ.get("LM_WORKERS", "0")),
     progress_bar=False,
 )
 builder.initialize()

@@ -168,3 +168,55 @@ def test_fluid_dft_matmul_matches_fft(rng):
     assert np.abs(got_s - ref_s).max() < 1e-5 * np.abs(ref_s).max()
     assert np.abs(got_f - ref_f).max() < 1e-5 * np.abs(ref_f).max()
     assert abs(lhs - rhs) < 1e-4 * abs(lhs)
+
+
+def test_expmap_hoisted_dispatch_logic(rng, monkeypatch):
+    """The hoisted-regime dispatch (TPU-only in production) is exercised on
+    CPU by substituting the fused kernels with their exact XLA equivalents:
+    in-regime momenta must match the general path via the fast scan, and
+    out-of-regime momenta must fall back to the general tier."""
+    import jax
+    from lagomorph_tpu.ops.pallas import epdiff_unit as eu
+    from lagomorph_tpu.ops import sampling, diff
+
+    monkeypatch.setattr(eu, "ad_star_supported", lambda *a: True)
+    monkeypatch.setattr(
+        eu, "ad_star_unit_pallas",
+        lambda p, m: diff.jacobian_times_vectorfield(
+            p, sampling.sample_displacement_unit(m, p), displacement=True
+        ),
+    )
+    monkeypatch.setattr(
+        eu, "compose_disp_vel_pallas",
+        lambda p, v, s: s * v + sampling.sample_displacement_unit(p, s * v),
+    )
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+
+    def general_expmap(m, N):
+        dt = 1.0 / N
+        phiinv = jnp.zeros_like(m)
+        for _ in range(N):
+            phiinv = lm.EPDiff_step(
+                metric, m, dt, phiinv,
+                transport_mode="general", compose_mode="general",
+            )
+        return phiinv
+
+    # in regime: tiny momenta, the fast scan is taken
+    m_small = jnp.asarray(rng.standard_normal((2, 2, 8, 8)) * 1e-4)
+    got = lm.expmap(metric, m_small, num_steps=4)
+    want = general_expmap(m_small, 4)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+    # out of regime: large momenta, the validity flag must trigger the
+    # general fallback (the fast path would produce wrong values)
+    m_big = jnp.asarray(rng.standard_normal((2, 2, 8, 8)) * 5e-3)
+    got = lm.expmap(metric, m_big, num_steps=4)
+    want = general_expmap(m_big, 4)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+    # gradients flow through the dispatch in both regimes
+    for m in (m_small, m_big):
+        g = jax.grad(lambda mm: jnp.sum(lm.expmap(metric, mm, num_steps=3) ** 2))(m)
+        assert np.isfinite(np.asarray(g)).all()
