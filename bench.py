@@ -26,9 +26,11 @@ def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None,
     if warmup is None:
         warmup = 1 if res >= 128 else 2
     if checkpoints is None:
-        # the reverse tape of 5 integration steps at 256^3 exceeds HBM;
-        # rematerialize the shooting loop there
-        checkpoints = res >= 256
+        # round 1 needed rematerialized shooting at 256^3; the round-2 fused
+        # kernels store only their inputs as residuals, so the full tape
+        # fits and is ~1.2x faster (2.34 vs 1.94 steps/s at 256^3 b1) —
+        # main() still falls back to checkpoints=True on OOM
+        checkpoints = False
     import jax
     import jax.numpy as jnp
     import lagomorph_tpu as lm
@@ -78,18 +80,22 @@ def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     sps = None
+    checkpoints = False
     while True:
         try:
-            sps, batch = bench(res=res, batch=batch)
+            sps, batch = bench(res=res, batch=batch, checkpoints=checkpoints)
             break
-        except Exception as e:  # OOM fallback to smaller batch
-            if batch <= 1:
-                raise
+        except Exception as e:  # fall back: rematerialize, then halve batch
             sys.stderr.write(
-                f"bench failed at batch={batch}: {str(e)[:300]}\n"
-                f"retrying batch={batch // 2}\n"
+                f"bench failed at batch={batch} "
+                f"checkpoints={checkpoints}: {str(e)[:300]}\n"
             )
-            batch //= 2
+            if not checkpoints:
+                checkpoints = True
+            elif batch > 1:
+                batch //= 2
+            else:
+                raise
     print(
         json.dumps(
             {

@@ -254,14 +254,6 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
     out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
 
 
-def _fwd_bx(X: int) -> int:
-    """Forward-kernel x-block: BX=16 halves the x-halo read amplification
-    vs BX=8 (block sweep at 128^3 b4: 2.00 ms vs 2.64 ms)."""
-    if X % 16 == 0:
-        return 16
-    return wu._pick_block(X)
-
-
 def _fwd_blocks(X: int, Y: int, Z: int):
     """(BX, BY) for the fused y-blocked forwards, bounded so the two slabs
     plus Mosaic temporaries fit scoped VMEM (~80 B per slab lane-row
@@ -790,8 +782,6 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                 acc2 = acc2 + wx * wy * dwc(2, oz) * gt
 
     # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel
-    gxw = jax.lax.broadcasted_iota(jnp.int32, shape_w, 1) + xb * BX - 8
-
     div = jnp.zeros(shape_c, dtype=psl.dtype)
     for a, (step, idx_c, n_axis) in enumerate(
         ((None, None, None), (Z, y_c, Y), (1, z_c, Z))
