@@ -891,7 +891,9 @@ def _warp_unit_bwd_yb(Ipad, gpad, dpad, X, Y, Z):
 # backward, that tap's mass lands on the first padded plane and is folded
 # back onto the edge (only one plane can receive mass since |tap| <= 1).
 
-_MAX_PAD_RATIO = 1.75  # padded/logical voxels beyond which XLA tiers win
+_MAX_PAD_RATIO = 2.0  # padded/logical voxels beyond which XLA tiers win
+# (at ~2x padded traffic the fused kernel and the XLA stencil tier roughly
+# break even; 130^3 pads Z to 256 at ratio 1.97 and still wins)
 
 
 def _pad_amounts(X: int, Y: int, Z: int):

@@ -32,6 +32,7 @@ builder = lm.LDDMMAtlasBuilder(
     metric=lm.FluidMetric([0.05, 0.0, 0.05]),
     keep_data_on_device=os.environ.get("LM_ON_DEVICE", "1") == "1",
     loader_workers=int(os.environ.get("LM_WORKERS", "0")),
+    image_dtype=os.environ.get("LM_IMG_DTYPE") or None,
     progress_bar=False,
 )
 builder.initialize()
