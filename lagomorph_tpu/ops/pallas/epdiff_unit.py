@@ -21,9 +21,12 @@ Two variants (same selection rules as warp_unit):
  * y-blocked — lane windows with 1-voxel y halos, for Z % 128 == 0;
 plus end-edge padding (warp_unit._pad_amounts) for all other shapes.
 
-The backward is composed from the existing fused warp backward kernels and
-the (XLA-fused) jtv transpose/adjoint stencils; a fully fused backward
-kernel is the planned next lift.
+Backwards are fully fused one-pass kernels where a geometry applies
+(_adstar_bwd_kernel[_yb], _compose_bwd_kernel[_yb]: both gradients computed
+together with mw/J recomputed in VMEM — read 3 fields, write 2), falling
+back to a composed backward (existing warp-bwd kernels + XLA jtv stencils)
+outside those geometries (e.g. whole-Y volumes beyond the scoped-vmem
+envelope).
 """
 from __future__ import annotations
 

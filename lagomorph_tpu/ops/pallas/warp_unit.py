@@ -80,9 +80,9 @@ def supported(I_shape, disp_shape, dtype) -> bool:
     if (Y * Z) % 128 != 0:
         return False
     if Y * Z > 8192:
-        # slab working sets exceed scoped VMEM beyond this lane extent; a
-        # Y-blocked kernel variant (lane-aligned y-halos, Z % 128 == 0) is
-        # the planned lift — see CLAUDE.md roadmap
+        # slab working sets exceed scoped VMEM beyond this lane extent;
+        # larger volumes take the y-blocked variant below (lane-aligned
+        # y-halo windows) or the padded-coverage path
         return False
     C = I_shape[1]
     bx = _pick_block(X, Y * Z)
