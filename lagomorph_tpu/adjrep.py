@@ -66,12 +66,16 @@ def Ad_star(phiinv, m, mode=None):
     On TPU with 3D f32 fields, the unit-displacement regime runs the fused
     Pallas kernel (one VMEM pass for warp + Jacobian contraction) — selected
     statically for ``mode="unit"``, by runtime bound check under auto."""
+    from .ops.interp import get_warp_mode
     from .ops.pallas import epdiff_unit as _eu
 
-    if mode in (None, "unit") and _eu.ad_star_supported(
+    # honor the global set_warp_mode() escape hatch: under a forced
+    # general/bounded mode the fused/cond dispatch must not run (debug/parity)
+    effective = mode if mode is not None else get_warp_mode()
+    if effective in ("auto", "unit") and _eu.ad_star_supported(
         phiinv.shape, m.shape, phiinv.dtype
     ):
-        if mode == "unit":
+        if effective == "unit":
             return _eu.ad_star_unit_pallas(phiinv, m)
         import jax
         import jax.numpy as jnp

@@ -103,22 +103,26 @@ def rotation_exp_map(v):
         s = jnp.sin(v).reshape(-1, 1)
         return jnp.stack([c, -s, s, c], axis=1).reshape(-1, 2, 2)
     elif v.ndim == 2 and v.shape[1] == 3:
-        theta = jnp.linalg.norm(v, axis=1, keepdims=True)
-        # stable axis: zero angle -> arbitrary axis, sin/theta -> 1
-        small = theta < 1e-12
-        safe_theta = jnp.where(small, 1.0, theta)
-        k = v / safe_theta
-        K = jnp.zeros((v.shape[0], 3, 3), dtype=v.dtype)
-        kx, ky, kz = k[:, 0], k[:, 1], k[:, 2]
-        zeros = jnp.zeros_like(kx)
+        # Series-safe Rodrigues on the UNNORMALIZED axis-angle vector:
+        #   R = I + A [v]_x + B [v]_x^2,  A = sin θ / θ,  B = (1 - cos θ)/θ².
+        # A and B are analytic in θ² (removable singularity at 0), so a
+        # Taylor branch below the threshold keeps both the value AND the
+        # gradient exact at v = 0 — normalizing v (k = v/θ) gives NaN grads
+        # there, and a constant-identity where-branch gives ZERO grads,
+        # either of which kills a rigid optimization started at v = 0.
+        theta2 = jnp.sum(v * v, axis=1)[:, None, None]
+        small = theta2 < 1e-8
+        t2s = jnp.where(small, 1.0, theta2)
+        theta = jnp.sqrt(t2s)
+        A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+        B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+        vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+        zeros = jnp.zeros_like(vx)
         K = jnp.stack(
-            [zeros, -kz, ky, kz, zeros, -kx, -ky, kx, zeros], axis=1
+            [zeros, -vz, vy, vz, zeros, -vx, -vy, vx, zeros], axis=1
         ).reshape(-1, 3, 3)
         eye = jnp.eye(3, dtype=v.dtype)[None]
-        st = jnp.sin(theta)[..., None]
-        ct = jnp.cos(theta)[..., None]
-        R = eye + st * K + (1 - ct) * jnp.einsum("nab,nbc->nac", K, K)
-        return jnp.where(small[..., None], eye, R)
+        return eye + A * K + B * jnp.einsum("nab,nbc->nac", K, K)
     else:
         raise Exception(f"Cannot infer dimension from v shape {v.shape}")
 

@@ -203,9 +203,68 @@ class CropDataset(Dataset):
         return np.ascontiguousarray(self.dataset[idx][self.slices])
 
 
+_NUMEXPR_SAFE_FUNCS = {
+    name: getattr(np, name)
+    for name in (
+        "sqrt exp expm1 log log1p log10 sin cos tan arcsin arccos arctan "
+        "arctan2 sinh cosh tanh abs absolute minimum maximum where"
+    ).split()
+}
+
+
+def _safe_numexpr_eval(expression: str, x: np.ndarray):
+    """Evaluate a numexpr-style arithmetic expression of ``x`` without
+    numexpr, via an AST whitelist — arithmetic/comparison operators, numeric
+    constants, the name ``x``, and a fixed set of numpy ufuncs.  Anything
+    else (attribute access, subscripts, arbitrary calls, comprehensions,
+    lambdas, ...) raises ValueError: expressions arrive from the CLI, so
+    this is deliberately NOT a bare ``eval``."""
+    import ast
+
+    tree = ast.parse(expression, mode="eval")
+    allowed = (
+        ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
+        ast.Call, ast.Compare, ast.Load,
+        ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod, ast.Pow, ast.FloorDiv,
+        ast.USub, ast.UAdd,
+        ast.Lt, ast.LtE, ast.Gt, ast.GtE, ast.Eq, ast.NotEq,
+    )
+    for node in ast.walk(tree):
+        if not isinstance(node, allowed):
+            raise ValueError(
+                f"unsupported syntax in numexpr expression: "
+                f"{type(node).__name__}"
+            )
+        if isinstance(node, ast.Constant) and not isinstance(
+            node.value, (int, float, complex, bool)
+        ):
+            raise ValueError("only numeric constants are allowed")
+        if isinstance(node, ast.Call):
+            if (
+                not isinstance(node.func, ast.Name)
+                or node.func.id not in _NUMEXPR_SAFE_FUNCS
+                or node.keywords
+            ):
+                raise ValueError("only whitelisted numpy calls are allowed")
+        if (
+            isinstance(node, ast.Name)
+            and node.id != "x"
+            and node.id not in _NUMEXPR_SAFE_FUNCS
+        ):
+            raise ValueError(f"unknown name in numexpr expression: {node.id!r}")
+    return eval(  # noqa: S307 — AST-whitelisted above, no builtins
+        compile(tree, "<numexpr>", "eval"),
+        {"__builtins__": {}},
+        {**_NUMEXPR_SAFE_FUNCS, "x": x},
+    )
+
+
 class NumexprDataset(Dataset):
     """Apply a numexpr expression in terms of x (reference data.py:162-174).
-    Falls back to ``eval`` with numpy if numexpr is unavailable."""
+
+    Uses numexpr when available; otherwise falls back to a *vetted*
+    AST-whitelisted numpy evaluator (:func:`_safe_numexpr_eval`) — never a
+    bare ``eval`` of the CLI-supplied string."""
 
     def __init__(self, dataset, expression):
         self.dataset = dataset
@@ -218,10 +277,9 @@ class NumexprDataset(Dataset):
         x = np.asarray(self.dataset[idx])
         try:
             import numexpr
-
-            return numexpr.evaluate(self.expression)
         except ImportError:
-            return eval(self.expression, {"np": np, "x": x})
+            return _safe_numexpr_eval(self.expression, x)
+        return numexpr.evaluate(self.expression)
 
 
 class DownscaledDataset(Dataset):
@@ -263,6 +321,8 @@ class PreCachedDataset(Dataset):
         if sampler is None:
             sampler = range(len(dataset))
         self.sampler = sampler
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
         self._tmpdir = tempfile.TemporaryDirectory(
             dir=cache_dir, prefix="lagomorph_tpu.PreCachedDataset."
         )
@@ -291,6 +351,8 @@ class LazyCachedDataset(Dataset):
         import tempfile
 
         self.dataset = dataset
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
         self._tmpdir = tempfile.TemporaryDirectory(
             dir=cache_dir, prefix="lagomorph_tpu.LazyCachedDataset."
         )
@@ -344,6 +406,8 @@ class CachedDataLoader:
     def __init__(self, batches, cache_dir=None, progress_bar=True):
         import tempfile
 
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
         self._tmpdir = tempfile.TemporaryDirectory(
             dir=cache_dir, prefix="lagomorph_tpu.CachedDataLoader."
         )

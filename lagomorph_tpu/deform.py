@@ -47,16 +47,20 @@ def compose(u, v, ds=1.0, dt=1.0, mode=None):
 
     On TPU with 3D f32 fields and ``dt == 1``, the unit regime runs the
     fused composition kernel (axpy + weights + warp in one VMEM pass)."""
+    from .ops.interp import get_warp_mode
     from .ops.pallas import epdiff_unit as _eu
 
+    # global set_warp_mode() escape hatch: forced general/bounded modes skip
+    # the fused dispatch entirely (interp_auto below honors the global too)
+    effective = mode if mode is not None else get_warp_mode()
     if (
         isinstance(ds, (int, float))
         and isinstance(dt, (int, float))
         and dt == 1.0
-        and mode in (None, "unit")
+        and effective in ("auto", "unit")
         and _eu.compose_supported(v.shape, u.shape, u.dtype)
     ):
-        if mode == "unit":
+        if effective == "unit":
             return _eu.compose_disp_vel_pallas(v, u, float(ds))
         import jax
         import jax.numpy as jnp

@@ -101,9 +101,12 @@ def expmap(
         # to the per-warp runtime tiering (each tier is exact in its
         # regime) but without 2 conds per substep.
         if transport_mode is None and compose_mode is None:
+            from .ops.interp import get_warp_mode
             from .ops.pallas import epdiff_unit as _eu
 
-            if _eu.ad_star_supported(m0.shape, m0.shape, m0.dtype):
+            if get_warp_mode() in ("auto", "unit") and _eu.ad_star_supported(
+                m0.shape, m0.shape, m0.dtype
+            ):
                 return _expmap_hoisted(
                     metric, m0, dt, length, phiinv, mommask, checkpoints
                 )
@@ -308,6 +311,10 @@ def lddmm_atlas(
     momentum_preconditioning=False,
     checkpoint_format=None,
     gradient_checkpointing=False,
+    loader_workers=0,
+    dataloader_cache=None,
+    keep_data_on_device=False,
+    image_dtype=None,
     ms=None,
     mesh=None,
     progress_bar=True,
@@ -334,6 +341,10 @@ def lddmm_atlas(
         momentum_preconditioning=momentum_preconditioning,
         checkpoint_format=checkpoint_format,
         gradient_checkpointing=gradient_checkpointing,
+        loader_workers=loader_workers,
+        dataloader_cache=dataloader_cache,
+        keep_data_on_device=keep_data_on_device,
+        image_dtype=image_dtype,
         mesh=mesh,
         progress_bar=progress_bar,
         dtype=dtype,
@@ -603,10 +614,22 @@ class LDDMMAtlasBuilder:
 
     # -- persistence (HDF5, same schema as reference lddmm.py:238-285) -----
     def _momenta_host(self):
-        """Per-batch momenta as host arrays sliced to real (unpadded) sizes."""
+        """Per-batch momenta as host arrays sliced to real (unpadded) sizes.
+
+        With multi-process + ``keep_data_on_device``, ``self.ms`` holds
+        globally-sharded ``jax.Array``s (donated step outputs spanning
+        non-addressable devices); extract this process's local rows first —
+        the ``n_real`` in ``_dev_cache`` is already this process's local
+        real-row count, so the slice below stays correct."""
         out = []
+        world = getattr(self, "_world", 1)
         for i, m in enumerate(self.ms):
-            m = np.asarray(m)
+            if world > 1 and not isinstance(m, np.ndarray):
+                from .parallel import local_shard
+
+                m = local_shard(m)
+            else:
+                m = np.asarray(m)
             if self.keep_data_on_device and hasattr(self, "_dev_cache") and i in self._dev_cache:
                 m = m[: self._dev_cache[i][3]]
             out.append(m)
@@ -825,6 +848,17 @@ class LDDMMAtlasBuilder:
             # reference's {rank}-formatted outputs, lddmm.py:534-539); with
             # no {rank} placeholder only rank 0 writes to avoid a file race
             if self._world == 1 or "{rank}" in self.checkpoint_format or self._rank == 0:
+                if self._world > 1 and "{rank}" not in self.checkpoint_format:
+                    import warnings
+
+                    warnings.warn(
+                        "multi-process run with no {rank} placeholder in "
+                        "checkpoint_format: the saved file contains ONLY "
+                        "rank 0's momenta shard (a fraction of the "
+                        "dataset's subjects). Add '{rank}' to save every "
+                        "process's shard.",
+                        stacklevel=2,
+                    )
                 self.save(
                     self.checkpoint_format.format(
                         epoch=self._epoch, rank=self._rank
@@ -1019,8 +1053,17 @@ class _Tool(Tool):
 
         # per-rank outputs (momenta are rank-local, reference lddmm.py:539);
         # without a {rank} placeholder only rank 0 writes
-        if self.world_size > 1 and "{rank}" not in args.output and self.rank != 0:
-            return
+        if self.world_size > 1 and "{rank}" not in args.output:
+            if self.rank != 0:
+                return
+            import warnings
+
+            warnings.warn(
+                "multi-process run with no {rank} placeholder in --output: "
+                "the saved file contains ONLY rank 0's momenta shard. Add "
+                "'{rank}' to the output path to save every process's shard.",
+                stacklevel=2,
+            )
         args.output = args.output.format(rank=self.rank)
         builder.save(args.output)
 

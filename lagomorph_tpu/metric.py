@@ -19,8 +19,9 @@ class FluidMetric:
     Reference: lagomorph/metric.py:37-97.  ``params = [alpha, beta, gamma]``.
 
     Instances are stateless w.r.t. traced values and safe to close over under
-    ``jax.jit``: the per-shape multiplier is cached globally in
-    :func:`lagomorph_tpu.ops.fluid.fluid_multiplier`.
+    ``jax.jit``: the multiplier is rebuilt from traced iota math inside each
+    jitted computation (``ops.fluid._fluid_multiplier_traced``) so no large
+    constant is baked into the program — XLA CSEs the rebuild across uses.
     """
 
     def __init__(self, params=(0.1, 0.0, 0.001)):

@@ -99,16 +99,18 @@ def rigid_register(
 ):
     """Rigid registration by unconstrained optimization of rotation tangent
     vectors through :func:`rotation_exp_map` (the use-case described at
-    reference affine.py:120-129).
+    reference affine.py:120-129; the reference's exp map is 2D-only, the 3D
+    case here uses the Rodrigues map of affine.py:105-121).
 
-    2D only for now (v is a batch of angles).  Returns ``(v, T, losses)``.
+    2D: ``v`` is a batch of angles ``(N,)``; 3D: axis-angle ``(N, 3)``.
+    Returns ``(v, T, losses)``.
     """
     N = target.shape[0]
     dim = len(target.shape) - 2
-    if dim != 2:
-        raise NotImplementedError("rigid_register currently supports 2D")
+    if dim not in (2, 3):
+        raise NotImplementedError("rigid_register supports 2D and 3D")
     if v0 is None:
-        v0 = jnp.zeros((N,), dtype=target.dtype)
+        v0 = jnp.zeros((N,) if dim == 2 else (N, 3), dtype=target.dtype)
     if T0 is None:
         T0 = jnp.zeros((N, dim), dtype=target.dtype)
     return _rigid_opt(source, target, v0, T0, learning_rate_v, learning_rate_T, num_iters)

@@ -56,6 +56,8 @@ class NativeBatchCache:
         self._lib = lib
         batches = list(batches)
         self._meta = []  # (shape, dtype)
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
         self._tmpdir = tempfile.TemporaryDirectory(
             dir=cache_dir, prefix="lagomorph_tpu.NativeBatchCache."
         )

@@ -9,7 +9,7 @@ from .boundary import diff_central, diff_central_adjoint, shift_clamp
 from .sampling import identity_grid, sample_linear, splat_linear
 from .interp import interp, interp_auto, interp_hessian_diagonal_image, splat, set_warp_mode
 from .diff import jacobian_times_vectorfield, jacobian_times_vectorfield_adjoint
-from .fluid import fluid_multiplier, fluid_operator
+from .fluid import fluid_operator
 from .affine import affine_interp, regrid
 
 __all__ = [
@@ -26,7 +26,6 @@ __all__ = [
     "interp_hessian_diagonal_image",
     "jacobian_times_vectorfield",
     "jacobian_times_vectorfield_adjoint",
-    "fluid_multiplier",
     "fluid_operator",
     "affine_interp",
     "regrid",

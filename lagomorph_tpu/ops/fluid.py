@@ -64,7 +64,11 @@ def _lut_freqs(spatial):
 
 @lru_cache(maxsize=64)
 def fluid_multiplier(spatial: tuple, params: tuple, inverse: bool, dtype=np.float32):
-    """Precompute the per-frequency multiplier tensor ``M[d, d, *freq]``.
+    """Concrete (numpy, float64) per-frequency multiplier tensor
+    ``M[d, d, *freq]`` — the *reference implementation* that the live traced
+    builder :func:`_fluid_multiplier_traced` is cross-checked against
+    (tests/test_metric.py); the shipped compute path never bakes this
+    constant into a program (see the traced builder's docstring).
 
     ``params = (alpha, beta, gamma)``.  For ``inverse=False`` this is the
     squared operator ``L``; for ``inverse=True`` it is the matrix that the

@@ -79,6 +79,13 @@ def set_warp_mode(mode: str):
     return prev
 
 
+def get_warp_mode() -> str:
+    """The current global warp-path mode (live value; see
+    :func:`set_warp_mode`).  Fused-kernel dispatch sites read this so the
+    escape hatch also disables the Pallas/cond fast paths."""
+    return _WARP_MODE
+
+
 def interp_auto(
     I: jnp.ndarray, u: jnp.ndarray, dt: float = 1.0, radius: int = 2,
     mode: str | None = None,

@@ -59,10 +59,27 @@ def local_shard(garr: jax.Array) -> np.ndarray:
 
 
 def allsum_hosts(x) -> np.ndarray:
-    """Elementwise sum of a (small) host array across processes."""
+    """Elementwise sum of a (small) host array across processes.
+
+    float64 inputs keep (close to) float64 precision even when jax x64 is
+    disabled: the value is split into a hi/lo float32 pair (double-float
+    representation) for the device allgather and recombined in float64 on
+    host, so the multi-process atlas-mean init matches the single-process
+    ``batch_average`` float64 accumulation."""
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    g = multihost_utils.process_allgather(jnp.asarray(np.asarray(x)))
+    x = np.asarray(x)
+    if x.dtype == np.float64 and not jax.config.jax_enable_x64:
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        ghi, glo = multihost_utils.process_allgather(
+            (jnp.asarray(hi), jnp.asarray(lo))
+        )
+        pairs = np.asarray(ghi, dtype=np.float64) + np.asarray(
+            glo, dtype=np.float64
+        )
+        return pairs.sum(axis=0)
+    g = multihost_utils.process_allgather(jnp.asarray(x))
     return np.asarray(g).sum(axis=0)

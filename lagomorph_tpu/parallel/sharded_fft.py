@@ -143,7 +143,7 @@ def _sharded_apply(mv, params, inverse, mesh_axis_and_mesh):
     if d != 3:
         raise ValueError("sharded fluid operator is 3D (d == 3) only")
     if X % n or Y % n:
-        raise ValueError(f"X and Y must divide the mesh axis size {n}")
+        raise ValueError(f"X and Y must be divisible by the mesh axis size {n}")
     spec = P(None, None, axis_name, None, None)
     f = partial(_local_apply, params=params, inverse=inverse,
                 axis_name=axis_name, n_shards=n, Y=Y, Z=Z)

@@ -15,6 +15,7 @@ num_procs = int(sys.argv[2])
 port = int(sys.argv[3])
 data_path = sys.argv[4]
 outdir = sys.argv[5]
+keep_on_device = len(sys.argv) > 6 and sys.argv[6] == "keep"
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -48,12 +49,18 @@ builder = LDDMMAtlasBuilder(
     learning_rate_pose=1e-3,
     learning_rate_image=1e2,
     mesh=get_mesh(),
+    keep_data_on_device=keep_on_device,
     progress_bar=False,
 )
 builder.run()
 
+# also exercise the HDF5 checkpoint path (multi-process + keep_data_on_device
+# must extract this process's local momenta shard, not np.asarray a global
+# sharded array)
+builder.save(os.path.join(outdir, f"ckpt_rank{proc_id}.h5"))
+
 my_subjects = process_shard_indices(n, num_procs, proc_id)
-ms = np.concatenate([np.asarray(m) for m in builder.ms], axis=0)
+ms = np.concatenate(builder._momenta_host(), axis=0)
 assert ms.shape[0] == len(my_subjects)
 np.savez(
     os.path.join(outdir, f"rank{proc_id}.npz"),

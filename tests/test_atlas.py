@@ -365,3 +365,30 @@ def test_lddmm_atlas_bf16_image_storage(rng):
     # bf16 has ~3 decimal digits; trajectories stay close
     assert np.allclose(l16, l32, rtol=2e-2)
     assert np.allclose(I16, I32, rtol=0, atol=2e-2 * np.abs(I32).max())
+
+
+def test_functional_lddmm_atlas_threads_loader_kwargs(rng, tmp_path):
+    """The functional wrapper must pass keep_data_on_device / loader /
+    image-dtype kwargs through to the builder (round-2 seam) and produce
+    the same result as the default staging path."""
+    imgs = make_synth_images(rng, n=4, res=12)
+    kwargs = dict(
+        num_epochs=2,
+        batch_size=2,
+        lddmm_integration_steps=3,
+        reg_weight=1e-1,
+        learning_rate_pose=1e-4,
+        learning_rate_image=1e2,
+        metric=lm.FluidMetric([0.01, 0.0, 0.1]),
+        progress_bar=False,
+    )
+    I_ref, ms_ref, el_ref, *_ = lm.lddmm_atlas(list(imgs), **kwargs)
+    I, ms, el, *_ = lm.lddmm_atlas(
+        list(imgs),
+        keep_data_on_device=True,
+        dataloader_cache=str(tmp_path / "cache"),
+        image_dtype="float32",
+        **kwargs,
+    )
+    assert np.allclose(np.asarray(I), np.asarray(I_ref), atol=1e-6)
+    assert np.allclose(np.asarray(el), np.asarray(el_ref), rtol=1e-6)

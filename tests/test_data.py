@@ -174,3 +174,26 @@ def test_profiling_utils():
         pass
     s = tm.summary()
     assert s["a"]["count"] == 1
+
+
+def test_numexpr_fallback_is_vetted(monkeypatch):
+    """Without numexpr the fallback is an AST-whitelisted evaluator, not a
+    bare eval: arithmetic works, arbitrary code is rejected (round-2
+    advisor/VERDICT security finding)."""
+    ds = [np.full((1, 4, 4), 2.0)]
+    monkeypatch.setitem(sys.modules, "numexpr", None)  # import -> ImportError
+    out = ld.NumexprDataset(ds, "sqrt(x)*3 + 1")[0]
+    assert np.allclose(out, np.sqrt(2.0) * 3 + 1)
+    out = ld.NumexprDataset(ds, "where(x > 1, x, 0)")[0]
+    assert np.allclose(out, 2.0)
+    for bad in (
+        "__import__('os').system('true')",
+        "x.dtype",
+        "x[0]",
+        "(lambda: 1)()",
+        "[i for i in (1,)]",
+        "open('/etc/passwd')",
+        "y + 1",
+    ):
+        with pytest.raises(ValueError):
+            ld.NumexprDataset(ds, bad)[0]

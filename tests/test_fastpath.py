@@ -247,3 +247,41 @@ def test_fold_unpad_is_edge_pad_transpose(rng):
     expected = np.asarray(vjp(d)[0])
     got = np.asarray(_fold_unpad(d, X, Y, Z))
     assert np.allclose(got, expected, atol=1e-12)
+
+
+def test_set_warp_mode_general_skips_fused_dispatch(rng, monkeypatch):
+    """The global set_warp_mode() escape hatch must also disable the fused
+    Pallas/cond dispatch in Ad_star, compose, and expmap's hoisted path
+    (round-2 advisor finding): after set_warp_mode('general') the general
+    tier runs even where the fused kernels would be supported."""
+    from lagomorph_tpu.ops import set_warp_mode
+    from lagomorph_tpu.ops.pallas import epdiff_unit as _eu
+    from lagomorph_tpu import adjrep, deform
+    from lagomorph_tpu.lddmm import expmap
+
+    def boom(*a, **k):
+        raise AssertionError("fused Pallas path dispatched under 'general'")
+
+    # pretend the fused kernels are supported (they are not on CPU) and make
+    # any attempt to trace them fail loudly
+    monkeypatch.setattr(_eu, "ad_star_supported", lambda *a: True)
+    monkeypatch.setattr(_eu, "compose_supported", lambda *a: True)
+    monkeypatch.setattr(_eu, "ad_star_unit_pallas", boom)
+    monkeypatch.setattr(_eu, "compose_disp_vel_pallas", boom)
+
+    sp = (6, 6, 6)
+    phiinv = jnp.asarray(0.3 * rng.standard_normal((1, 3) + sp))
+    m = jnp.asarray(rng.standard_normal((1, 3) + sp))
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+
+    prev = set_warp_mode("general")
+    try:
+        adjrep.Ad_star(phiinv, m)               # must not touch boom
+        deform.compose(phiinv, m)               # must not touch boom
+        expmap(metric, m, num_steps=3)          # hoisted path must be skipped
+    finally:
+        set_warp_mode(prev)
+
+    # sanity: under the default auto mode the (mocked) fused path IS taken
+    with pytest.raises(AssertionError, match="fused Pallas path"):
+        adjrep.Ad_star(phiinv, m)

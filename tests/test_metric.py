@@ -101,3 +101,26 @@ def test_fluid_zero_gamma_regularized():
     m = jnp.ones((1, 2, 4, 4))
     v = metric.sharp(m)
     assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("dim", dims)
+def test_traced_multiplier_matches_concrete(dim, inverse):
+    """The live traced (iota-built) multiplier must equal the concrete numpy
+    reference implementation entry-for-entry."""
+    import jax
+    from lagomorph_tpu.ops.fluid import (
+        fluid_multiplier,
+        _fluid_multiplier_traced,
+    )
+
+    spatial = tuple(range(4, 4 + dim))  # anisotropic: (4,5) / (4,5,6)
+    params = tuple(fluid_params)
+    M = fluid_multiplier(spatial, params, inverse, np.float64)
+    ent = jax.jit(
+        lambda: _fluid_multiplier_traced(spatial, params, inverse, jnp.float64)
+    )()
+    for a in range(dim):
+        for b in range(a + 1):
+            got = np.asarray(ent[(a, b)])
+            assert np.allclose(got, M[a, b], atol=1e-12), (a, b)

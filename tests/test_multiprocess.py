@@ -28,7 +28,8 @@ def _free_port():
     return port
 
 
-def test_two_process_atlas_matches_single(rng, tmp_path):
+@pytest.mark.parametrize("keep", [False, True], ids=["stream", "on_device"])
+def test_two_process_atlas_matches_single(rng, tmp_path, keep):
     n, res = 16, 12
     imgs = make_synth_images(rng, n=n, res=res)
     data_path = str(tmp_path / "imgs.npy")
@@ -39,7 +40,7 @@ def test_two_process_atlas_matches_single(rng, tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, HELPER, str(r), "2", str(port), data_path,
-             str(tmp_path)],
+             str(tmp_path), "keep" if keep else "stream"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -51,6 +52,14 @@ def test_two_process_atlas_matches_single(rng, tmp_path):
 
     r0 = np.load(tmp_path / "rank0.npz")
     r1 = np.load(tmp_path / "rank1.npz")
+
+    # the HDF5 checkpoints must exist and hold each rank's real momenta rows
+    import h5py
+
+    for r, rr in enumerate((r0, r1)):
+        with h5py.File(tmp_path / f"ckpt_rank{r}.h5", "r") as f:
+            assert f["momenta"].shape[0] == rr["momenta"].shape[0]
+            assert np.allclose(f["momenta"][...], rr["momenta"], atol=1e-7)
 
     # both ranks must hold the identical (replicated) atlas
     assert np.allclose(r0["atlas"], r1["atlas"], atol=1e-6)
