@@ -30,6 +30,7 @@ __all__ = [
     "expmap_advect",
     "EPDiff_step",
     "EPDiff_steps",
+    "shooting_regime_ok",
     "LDDMMAtlasBuilder",
     "lddmm_atlas",
 ]
@@ -168,6 +169,45 @@ def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints):
     return jax.lax.cond(
         ok, lambda p0, m_, f: f, general_fn, phiinv0, m0, fast
     )
+
+
+def shooting_regime_ok(metric, m0, T=1.0, num_steps=10, mommask=None):
+    """Trajectory-validity probe for the hoisted fast path: returns a traced
+    boolean that is True iff every substep of ``expmap(metric, m0, ...)``
+    stays in the unit-displacement regime (|d| < 1 voxel per warp), i.e. the
+    regime in which ``_expmap_hoisted`` keeps the fused static kernels and
+    never reruns the general tier.
+
+    Observability hook for benchmarks/training (VERDICT r2 #6): the silent
+    2x cost of a persistent fallback can be asserted away by checking this
+    once per config (it runs one general-tier shooting — use it as a spot
+    check, not inside the hot loop)."""
+    dt = T / num_steps
+
+    def in_unit(d):
+        return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+
+    m = m0 if mommask is None else m0 * mommask
+    v0 = metric.sharp(m)
+    phiinv = (-dt) * v0
+    ok = in_unit(phiinv)
+
+    def step(carry, _):
+        phiinv, ok = carry
+        ok = jnp.logical_and(ok, in_unit(phiinv))
+        m = adjrep.Ad_star(phiinv, m0, mode="general")
+        if mommask is not None:
+            m = m * mommask
+        v = metric.sharp(m)
+        ok = jnp.logical_and(ok, in_unit(-dt * v))
+        phiinv = deform.compose_disp_vel(phiinv, v, dt=-dt, mode="general")
+        return (phiinv, ok), None
+
+    if num_steps > 1:
+        (phiinv, ok), _ = jax.lax.scan(
+            jax.checkpoint(step), (phiinv, ok), None, length=num_steps - 1
+        )
+    return ok
 
 
 def EPDiff_steps(metric, m0, dt, N, phiinv):

@@ -371,6 +371,101 @@ def _fluid_apply_dft(mv, params, inverse):
     return re.astype(mv.dtype)
 
 
+# Packed-pair complex transforms: the fluid multiplier M(k) is real and
+# EVEN under k -> -k (cos-built diagonal; sin*sin off-diagonals flip sign
+# twice), so for real fields x1, x2 packed as c = x1 + i*x2,
+#     ifftn(M . fftn(c)) = apply(x1) + i * apply(x2)
+# exactly — one complex FFT serves TWO real fields with no hermitian
+# unpacking.  vs rfftn per field this does 3 full-spectrum axis passes per
+# 2 fields instead of ~2 per field.  Whether that wins depends on the
+# backend's real-FFT lowering: measured on TPU by scripts/fft_probe3.py.
+_PACKED_FFT = "auto"
+_PACKED_AUTO_ENABLED = False  # flip after fft_probe3 shows packing winning
+
+
+def set_fluid_packing(mode):
+    """Select packed-pair complex transforms: True, False, or "auto".
+    Trace-time flag — retrace after changing."""
+    global _PACKED_FFT
+    assert mode in (True, False, "auto")
+    prev = _PACKED_FFT
+    _PACKED_FFT = mode
+    return prev
+
+
+def _packing_mode(shape, params, dtype):
+    """Packing strategy for a (B, d, *spatial) field, or None.
+
+    "flat": beta == 0 -> the multiplier is one scalar field applied to every
+    component identically, so pack across all B*d slabs (works for any B).
+    "batch": beta != 0 mixes components per frequency, which still applies
+    per packed complex value, so pack pairs of batch elements (B even).
+    """
+    if _PACKED_FFT is False:
+        return None
+    if _PACKED_FFT == "auto":
+        if not _PACKED_AUTO_ENABLED:
+            return None
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return None
+        if backend not in ("tpu", "axon"):
+            return None
+    if dtype not in (jnp.float32, np.float32):
+        return None
+    B, d = shape[0], shape[1]
+    beta = float(params[1])
+    if beta == 0.0:
+        return "flat" if B * d >= 2 else None
+    return "batch" if B % 2 == 0 else None
+
+
+def _fluid_apply_packed(mv, params, inverse, mode):
+    B, d = mv.shape[:2]
+    spatial = tuple(mv.shape[2:])
+    dim = len(spatial)
+    M = _fluid_multiplier_traced(
+        spatial, params, inverse, jnp.float32, full_spectrum=True
+    )
+    if mode == "flat":
+        n = B * d
+        x = mv.reshape((n,) + spatial)
+        pad = n % 2
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((1,) + spatial, mv.dtype)], axis=0
+            )
+        half = x.shape[0] // 2
+        axes = tuple(range(1, 1 + dim))
+        c = jax.lax.complex(x[:half], x[half:])
+        F = jnp.fft.fftn(c, axes=axes) * M[(0, 0)][None]
+        y = jnp.fft.ifftn(F, axes=axes)
+        out = jnp.concatenate([y.real, y.imag], axis=0)
+        if pad:
+            out = out[:n]
+        return out.reshape(mv.shape).astype(mv.dtype)
+    # mode == "batch": pack batch halves; d x d mixing per packed value
+    half = B // 2
+    axes = tuple(range(2, 2 + dim))
+    c = jax.lax.complex(mv[:half], mv[half:])
+    F = jnp.fft.fftn(c, axes=axes)
+
+    def mget(a, b):
+        return M[(a, b)] if a >= b else M[(b, a)]
+
+    rows = []
+    for a in range(d):
+        acc = None
+        for b in range(d):
+            term = mget(a, b)[None] * F[:, b]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    F = jnp.stack(rows, axis=1)
+    y = jnp.fft.ifftn(F, axes=axes)
+    return jnp.concatenate([y.real, y.imag], axis=0).astype(mv.dtype)
+
+
 def _fluid_apply(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
     dim = mv.shape[1]
     spatial = tuple(mv.shape[2:])
@@ -378,6 +473,9 @@ def _fluid_apply(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:
         raise ValueError("Vector field has incorrect shape for dimension")
     if _use_dft(spatial, mv.dtype):
         return _fluid_apply_dft(mv, params, inverse)
+    pmode = _packing_mode(mv.shape, params, mv.dtype)
+    if pmode is not None:
+        return _fluid_apply_packed(mv, params, inverse, pmode)
     axes = tuple(range(2, 2 + dim))
     F = jnp.fft.rfftn(mv, axes=axes, norm="ortho")
     rdtype = jnp.real(F).dtype

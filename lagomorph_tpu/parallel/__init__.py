@@ -27,6 +27,10 @@ from .sharded_fft import (
     sharded_fluid_operator,
     ShardedFluidMetric,
 )
+from .sharded_epdiff import (
+    sharded_expmap,
+    sharded_atlas_loss,
+)
 
 __all__ = [
     "get_mesh",
@@ -43,4 +47,6 @@ __all__ = [
     "allsum_hosts",
     "sharded_fluid_operator",
     "ShardedFluidMetric",
+    "sharded_expmap",
+    "sharded_atlas_loss",
 ]

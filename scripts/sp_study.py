@@ -104,6 +104,28 @@ def main():
     analyze("expmap(3) fwd", shoot_loss, m0, shardings=(ss,))
     analyze("expmap(3) fwd+bwd", jax.grad(shoot_loss), m0, shardings=(ss,))
 
+    # the explicit shard_map halo formulation (parallel/sharded_epdiff.py):
+    # per substep 2 ppermutes (1-voxel X halos) + 2 all-to-alls (distributed
+    # rFFT) instead of GSPMD's ~171
+    from lagomorph_tpu.parallel.sharded_epdiff import (
+        sharded_expmap, sharded_atlas_loss,
+    )
+
+    def sh_shoot_loss(mm):
+        h = sharded_expmap(metric, mm, mesh, num_steps=3)
+        return jnp.sum(h * h)
+
+    analyze("halo sharded_expmap(3) fwd", sh_shoot_loss, m0, shardings=(ss,))
+    analyze("halo sharded_expmap(3) fwd+bwd", jax.grad(sh_shoot_loss),
+            m0, shardings=(ss,))
+
+    I = jnp.asarray(rng.standard_normal((1, 1) + sp), dtype=jnp.float32)
+    img = jnp.asarray(rng.standard_normal((B, 1) + sp), dtype=jnp.float32)
+    analyze("halo sharded_atlas_loss grad",
+            jax.grad(lambda mm: sharded_atlas_loss(
+                metric, I, mm, img, mesh, reg_weight=0.1, num_steps=3)[0]),
+            m0, shardings=(ss,))
+
 
 if __name__ == "__main__":
     main()

@@ -2,7 +2,11 @@
 suite runs on a CPU mesh where these kernels are bypassed; run this script
 on real TPU hardware after kernel changes).
 
-Usage: python scripts/tpu_checks.py [res] [batch]
+Usage: python scripts/tpu_checks.py [--quick] [res] [batch]
+
+--quick: core fused kernels + hoisted dispatch only (one shape) — the
+run-before-bench gate wired into bench.py so a kernel regression cannot
+produce a green BENCH result.
 """
 import os
 import sys
@@ -19,8 +23,10 @@ from lagomorph_tpu.ops.sampling import sample_displacement_unit
 
 
 def main():
-    res = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    quick = "--quick" in sys.argv[1:]
+    res = int(args[0]) if len(args) > 0 else 64
+    B = int(args[1]) if len(args) > 1 else 2
     rng = np.random.default_rng(0)
     sp = (res,) * 3
     ok = True
@@ -46,6 +52,9 @@ def main():
         ok &= err < 1e-4
 
     # broadcast image batch
+    if quick:
+        _quick_rest(rng, res, B, sp, ok)
+        return
     I1 = jnp.asarray(rng.standard_normal((1, 1) + sp), dtype=jnp.float32)
     got = wu.sample_displacement_unit_pallas(I1, d)
     ref = sample_displacement_unit(I1, d)
@@ -177,6 +186,66 @@ def main():
         err = float(jnp.abs(h_auto - h_ref).max()) / scale
         print(f"{name} relerr: {err:.3e}")
         ok &= err < 1e-5
+
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+def _quick_rest(rng, res, B, sp, ok):
+    """Quick-mode tail: fused Ad*/compose fwd+bwd at one shape + the
+    hoisted-regime dispatch equivalence.  ~6 small compiles."""
+    import lagomorph_tpu.ops.pallas.epdiff_unit as eu
+    from lagomorph_tpu.ops.diff import jacobian_times_vectorfield as jtv
+
+    def adstar_ref(p, m):
+        return jtv(p, sample_displacement_unit(m, p), displacement=True)
+
+    p_ = jnp.asarray(rng.uniform(-1.0, 0.999, (B, 3) + sp), dtype=jnp.float32)
+    m_ = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+    g_ = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+    assert eu.ad_star_supported(p_.shape, m_.shape, p_.dtype)
+    err = float(jnp.abs(eu.ad_star_unit_pallas(p_, m_) - adstar_ref(p_, m_)).max())
+    print(f"quick adstar fwd maxerr: {err:.3e}")
+    ok &= err < 1e-4
+    _, vjp_f = jax.vjp(eu.ad_star_unit_pallas, p_, m_)
+    _, vjp_r = jax.vjp(adstar_ref, p_, m_)
+    gf, gr = vjp_f(g_), vjp_r(g_)
+    for name, a, b in (("d_p", gf[0], gr[0]), ("d_m0", gf[1], gr[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick adstar bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-3
+
+    s = 0.2
+
+    def comp_ref(p, v):
+        return s * v + sample_displacement_unit(p, s * v)
+
+    pc = jnp.asarray(rng.uniform(-3.0, 3.0, (B, 3) + sp), dtype=jnp.float32)
+    vc = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 3) + sp), dtype=jnp.float32)
+    assert eu.compose_supported(pc.shape, vc.shape, pc.dtype)
+    err = float(jnp.abs(eu.compose_disp_vel_pallas(pc, vc, s) - comp_ref(pc, vc)).max())
+    print(f"quick compose fwd maxerr: {err:.3e}")
+    ok &= err < 1e-5
+    _, vjp_f = jax.vjp(lambda p, v: eu.compose_disp_vel_pallas(p, v, s), pc, vc)
+    _, vjp_r = jax.vjp(comp_ref, pc, vc)
+    gf, gr = vjp_f(g_), vjp_r(g_)
+    for name, a, b in (("d_p", gf[0], gr[0]), ("d_v", gf[1], gr[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick compose bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-4
+
+    # hoisted dispatch: fused fast scan == static unit path in regime
+    metric = lm.FluidMetric([0.05, 0.0, 0.05])
+    msmall = jnp.asarray(rng.standard_normal((B, 3) + sp) * 1e-6, dtype=jnp.float32)
+    h_auto = jax.jit(lambda m: lm.expmap(metric, m, num_steps=3))(msmall)
+    h_ref = jax.jit(
+        lambda m: lm.expmap(metric, m, num_steps=3,
+                            transport_mode="unit", compose_mode="unit")
+    )(msmall)
+    scale = max(float(jnp.abs(h_ref).max()), 1e-30)
+    err = float(jnp.abs(h_auto - h_ref).max()) / scale
+    print(f"quick hoisted-in-regime relerr: {err:.3e}")
+    ok &= err < 1e-5
 
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)

@@ -124,3 +124,41 @@ def test_traced_multiplier_matches_concrete(dim, inverse):
         for b in range(a + 1):
             got = np.asarray(ent[(a, b)])
             assert np.allclose(got, M[a, b], atol=1e-12), (a, b)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize(
+    "B,dim,beta", [(4, 3, 0.0), (2, 3, 0.01), (1, 3, 0.0), (3, 2, 0.0), (2, 2, 0.01)]
+)
+def test_packed_fft_matches_rfftn(rng, B, dim, beta, inverse):
+    """Packed-pair complex transforms (one fftn per two real fields; valid
+    because the multiplier is even in k) must match the rfftn path to f32
+    roundoff for every packing mode / dimension / beta."""
+    import jax
+    from lagomorph_tpu.ops.fluid import (
+        _packing_mode,
+        fluid_operator,
+        set_fluid_packing,
+    )
+
+    params = (0.1, beta, 0.01)
+    sp = tuple(range(6, 6 + dim))  # anisotropic
+    mv = jnp.asarray(rng.standard_normal((B, dim) + sp), dtype=jnp.float32)
+    ref = jax.jit(lambda x: fluid_operator(x, params, inverse))(mv)
+    prev = set_fluid_packing(True)
+    try:
+        assert _packing_mode(mv.shape, params, mv.dtype) is not None
+        got = jax.jit(lambda x: fluid_operator(x, params, inverse))(mv)
+        # gradient path too (self-adjoint custom VJP re-applies the op)
+        g = jax.jit(
+            jax.grad(lambda x: jnp.sum(fluid_operator(x, params, inverse) ** 2))
+        )(mv)
+    finally:
+        set_fluid_packing(prev)
+    gref = jax.jit(
+        jax.grad(lambda x: jnp.sum(fluid_operator(x, params, inverse) ** 2))
+    )(mv)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / scale < 1e-5
+    gscale = max(float(jnp.abs(gref).max()), 1e-30)
+    assert float(jnp.abs(g - gref).max()) / gscale < 1e-5
