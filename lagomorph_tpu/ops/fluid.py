@@ -377,10 +377,18 @@ def _fluid_apply_dft(mv, params, inverse):
 #     ifftn(M . fftn(c)) = apply(x1) + i * apply(x2)
 # exactly — one complex FFT serves TWO real fields with no hermitian
 # unpacking.  vs rfftn per field this does 3 full-spectrum axis passes per
-# 2 fields instead of ~2 per field.  Whether that wins depends on the
-# backend's real-FFT lowering: measured on TPU by scripts/fft_probe3.py.
+# 2 fields instead of ~2 per field.
+#
+# Default ON for TPU backends, for two measured reasons (2026-08-17, v5e):
+#  * speed: sharp 128^3 b4 drops 6.65 -> 4.92 ms (scripts/fft_probe3.py);
+#  * CORRECTNESS: XLA's TPU rfftn->irfftn round trip is numerically BROKEN
+#    for >= 12 batched 128^3 transforms on this backend (max roundtrip
+#    error ~1.7 vs ~2e-6 at <= 6 transforms or at 64^3 any batch) — i.e.
+#    the unpacked path silently produces garbage exactly at the headline
+#    128^3 b4 shape.  The packed C2C path measures ~2e-6 at every tested
+#    (res, batch).  Guarded by scripts/tpu_checks.py ground-truth checks.
 _PACKED_FFT = "auto"
-_PACKED_AUTO_ENABLED = False  # flip after fft_probe3 shows packing winning
+_PACKED_AUTO_ENABLED = True
 
 
 def set_fluid_packing(mode):
@@ -418,7 +426,10 @@ def _packing_mode(shape, params, dtype):
     beta = float(params[1])
     if beta == 0.0:
         return "flat" if B * d >= 2 else None
-    return "batch" if B % 2 == 0 else None
+    # beta != 0 mixes components: pack batch pairs; odd B pads one zero
+    # batch row (one half-wasted transform, still fewer passes than rfftn —
+    # and on TPU the rfftn path is numerically unsafe at large batches)
+    return "batch" if B % 2 == 0 else "batch_pad"
 
 
 def _fluid_apply_packed(mv, params, inverse, mode):
@@ -445,8 +456,14 @@ def _fluid_apply_packed(mv, params, inverse, mode):
         if pad:
             out = out[:n]
         return out.reshape(mv.shape).astype(mv.dtype)
-    # mode == "batch": pack batch halves; d x d mixing per packed value
-    half = B // 2
+    # "batch"/"batch_pad": pack batch halves; d x d mixing per packed value
+    Bp = B
+    if mode == "batch_pad":
+        mv = jnp.concatenate(
+            [mv, jnp.zeros((1,) + mv.shape[1:], mv.dtype)], axis=0
+        )
+        Bp = B + 1
+    half = Bp // 2
     axes = tuple(range(2, 2 + dim))
     c = jax.lax.complex(mv[:half], mv[half:])
     F = jnp.fft.fftn(c, axes=axes)
@@ -463,7 +480,8 @@ def _fluid_apply_packed(mv, params, inverse, mode):
         rows.append(acc)
     F = jnp.stack(rows, axis=1)
     y = jnp.fft.ifftn(F, axes=axes)
-    return jnp.concatenate([y.real, y.imag], axis=0).astype(mv.dtype)
+    out = jnp.concatenate([y.real, y.imag], axis=0)
+    return out[:B].astype(mv.dtype)
 
 
 def _fluid_apply(mv: jnp.ndarray, params, inverse: bool) -> jnp.ndarray:

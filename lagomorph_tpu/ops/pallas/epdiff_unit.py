@@ -906,7 +906,12 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
-    accs_xy = {}  # (oy, oz) -> sum over ox of x-transposed P, (3, BX, SL)
+    # d_m0 accumulators: the x AND y transposes are applied per tap so only
+    # THREE (3, BX, BL) accumulators stay live (one per oz; the z transpose
+    # still factors over the offset sum) — round 2 kept 9 (3, BX, SL)
+    # arrays live across the whole loop, which dominated the scoped-vmem
+    # budget and capped the block sizes
+    accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
         wx = wgt_s(0, ox)
@@ -930,29 +935,23 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                 acc0 = acc0 + dwc(0, ox) * wyc * wzc * gt
                 acc1 = acc1 + wxc * dwc(1, oy) * wzc * gt
                 acc2 = acc2 + wxc * wyc * dwc(2, oz) * gt
-                # d_m0: x-transpose here; y/z transposes factored below
-                # (the per-axis transposes distribute over the offset sum:
-                # sum_o Tz Ty Tx P_o = sum_oz Tz[ sum_oy Ty[ sum_ox Tx P ]],
-                # cutting 27+27 y/z transposes to 9+3)
+                # d_m0: x-transpose (roll + clamp fold), then y-transpose
+                # (aligned static slice + fold) immediately
                 P = w3 * d_mw  # (3, BXW, SL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
                     xedge = (gx_cs == 0) if ox == -1 else (gx_cs == X - 1)
                     Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
-                key = (oy, oz)
-                accs_xy[key] = Ax if key not in accs_xy else accs_xy[key] + Ax
+                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                if oy != 0:
+                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                accz[oz] = accz[oz] + A
 
     acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
     for oz in (-1, 0, 1):
-        acc_z = jnp.zeros(shape_c, dtype=psl.dtype)
-        for oy in (-1, 0, 1):
-            Axy = accs_xy[(oy, oz)]
-            A = Axy[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-            if oy != 0:
-                yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                A = A + jnp.where(yedge, Axy[:, :, Z : Z + BL], 0.0)
-            acc_z = acc_z + A
+        acc_z = accz[oz]
         if oz != 0:
             wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
             Ar = pltpu.roll(acc_z, oz % BL, 2)
@@ -1001,14 +1000,25 @@ def set_fused_adstar_bwd(enabled: bool):
     return prev
 
 
-def _pick_by_bwd(Y: int, Z: int) -> int:
-    """Block size for the y-blocked backward kernel (2-halo windows, three
-    resident slabs plus mw/d_mw/q temporaries — keep the window small: BY=16
-    at Z=128 overflowed the 16M scoped-vmem limit by 48K)."""
-    for by in (8, 4, 2):
-        # window <= 1536 lanes — the largest scoped-vmem-validated
-        # configuration (BY=8 at Z=128); Z=256 then gets BY=2
-        if Y % by == 0 and (by + 4) * Z <= 1536:
+def _pick_bx_bwd(X: int) -> int:
+    """x-block for the y-blocked backward.  Bigger blocks amortize the
+    8-row DMA-alignment x-halo: measured at 128^3 b4 (block_sweep, after
+    the 3-accumulator restructure) BX=32/BY=8 -> 5.54 ms vs BX=8/BY=8 ->
+    7.27 ms."""
+    for bx in (32, 16, 8):
+        if X % bx == 0:
+            return bx
+    return 0
+
+
+def _pick_by_bwd(Y: int, Z: int, BX: int = 16) -> int:
+    """y-block for the y-blocked backward.  Budget: (BX+16)*(BY+4)*Z window
+    lanes <= 90k — the measured scoped-vmem envelope after the round-3
+    restructure (3 live d_m0 accumulators instead of 9): BX=16/BY=16 at
+    Z=128 (81,920) compiles, BX=8/BY=32 (110,592) and BX=32/BY=16
+    (122,880) do not."""
+    for by in (16, 8, 4, 2):
+        if Y % by == 0 and (BX + 16) * (by + 4) * Z <= 90_000:
             return by
     return 0
 
@@ -1054,9 +1064,11 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
             ],
         )(ppad, mpad, gpad)
         return dp.reshape(p.shape), dm.reshape(p.shape)
-    if wu.yblocked_supported(shp, p.shape, p.dtype) and _pick_by_bwd(Y, Z):
-        BX = wu._pick_block(X)
-        BY = _pick_by_bwd(Y, Z)
+    if wu.yblocked_supported(shp, p.shape, p.dtype) and _pick_by_bwd(
+        Y, Z, _pick_bx_bwd(X)
+    ):
+        BX = _pick_bx_bwd(X)
+        BY = _pick_by_bwd(Y, Z, BX)
         BL = BY * Z
         w2 = [(0, 0), (0, 0), (8, 8), (2, 2), (0, 0)]
         ppad = jnp.pad(p, w2, mode="edge").reshape(N, 3, X + 16, (Y + 4) * Z)
@@ -1265,9 +1277,9 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     def wgt(axis, o):
         return _weights(dsl, axis, o)  # (BXW, WL)
 
-    # factored transposes: x at 27, y at 9, z at 3 (the per-axis transposes
-    # distribute over the offset sum)
-    accs_xy = {}
+    # x and y transposes applied per tap (only 3 per-oz accumulators live;
+    # z transpose still factors over the offset sum — see the Ad* backward)
+    accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         wx = wgt(0, ox)
         for oy in (-1, 0, 1):
@@ -1279,19 +1291,15 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                 if ox != 0:
                     xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
                     Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
-                key = (oy, oz)
-                accs_xy[key] = Ax if key not in accs_xy else accs_xy[key] + Ax
+                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                if oy != 0:
+                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
+                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                accz[oz] = accz[oz] + A
 
     acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
     for oz in (-1, 0, 1):
-        acc_z = jnp.zeros(shape_c, dtype=psl.dtype)
-        for oy in (-1, 0, 1):
-            Axy = accs_xy[(oy, oz)]
-            A = Axy[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-            if oy != 0:
-                yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                A = A + jnp.where(yedge, Axy[:, :, Z : Z + BL], 0.0)
-            acc_z = acc_z + A
+        acc_z = accz[oz]
         if oz != 0:
             wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
             Ar = pltpu.roll(acc_z, oz % BL, 2)

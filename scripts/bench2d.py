@@ -45,6 +45,41 @@ def main():
     print(f"2D LDDMM atlas steps/sec @ {res}^2 b{B}: {sps:.2f} "
           f"({1000 / sps:.1f} ms/step)", flush=True)
 
+    # scan-amortized on-device rate (relay dispatch excluded) + roofline row
+    K = 50
+
+    def k_steps(I, m, img):
+        def body(m, _):
+            m, _gI, loss, _reg = step(I, m, img)
+            return m, loss
+        m, losses = jax.lax.scan(body, m, None, length=K)
+        return m, losses[-1]
+
+    jscan = jax.jit(k_steps, donate_argnums=(1,))
+    m, loss = jscan(I, m, img)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    m, loss = jscan(I, m, img)
+    _ = float(loss)
+    t1 = time.perf_counter()
+    ms = (t1 - t0) / K * 1000
+    # traffic model: ~8 field volumes per substep fwd+bwd (p, v, m, grads)
+    # + image warp; one V = B*2*res^2*4 bytes
+    V = B * 2 * res * res * 4
+    ideal_ms = 5 * 8 * V / 819e9 * 1e3
+    print(f"2D scan-amortized @ {res}^2 b{B}: {K / (t1 - t0):.2f} steps/s "
+          f"({ms:.2f} ms/step; HBM-roofline ~{ideal_ms:.3f} ms -> "
+          f"{ms / ideal_ms:.0f}x off)", flush=True)
+
+    # 2D FFT health at this batch (the 3D rfftn/irfftn pipeline is broken
+    # for >= 12 batched 128^3 transforms on this backend — check 2D too)
+    x = jnp.asarray(rng.standard_normal((B * 2,) + sp), dtype=jnp.float32)
+    rt = jax.jit(
+        lambda x: jnp.fft.irfftn(jnp.fft.rfftn(x, axes=(1, 2)), s=sp, axes=(1, 2))
+    )(x)
+    print(f"2D rfftn roundtrip err @ {res}^2 x{B * 2}: "
+          f"{float(jnp.abs(rt - x).max()):.3e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

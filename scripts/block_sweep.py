@@ -60,10 +60,20 @@ def main():
     orig_pick_by = wu._pick_by
     orig_pick_by_bwd = eu._pick_by_bwd
 
+    orig_fwd_blocks = eu._fwd_blocks
+
     def set_blocks(bx, by_fwd, by_bwd):
         wu._pick_block = lambda X, YZ=0: bx if X % bx == 0 else 0
         wu._pick_by = lambda Y, Z: by_fwd if Y % by_fwd == 0 else 0
-        eu._pick_by_bwd = lambda Y, Z: by_bwd if Y % by_bwd == 0 else 0
+        eu._pick_bx_bwd = lambda X: bx if X % bx == 0 else 0
+        eu._pick_by_bwd = (
+            lambda Y, Z, BX=16: by_bwd if Y % by_bwd == 0 else 0
+        )
+        # the fused fwd kernels pick their own (BX, BY) — patch it too
+        # (round-3 fix: earlier sweeps left the fwd geometry unpatched)
+        eu._fwd_blocks = lambda X, Y, Z: (
+            (bx, by_fwd) if (X % bx == 0 and Y % by_fwd == 0) else None
+        )
 
     ref = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
 
@@ -79,8 +89,8 @@ def main():
                   flush=True)
 
     print(f"=== adstar fused bwd only (res {res}, b{B}) ===", flush=True)
-    for bx in (8, 16):
-        for by in (4, 8, 16):
+    for bx in (8, 16, 32):
+        for by in (4, 8, 16, 32):
             if res % bx or res % by:
                 continue
             set_blocks(bx, 32 if res % 32 == 0 else 8, by)
@@ -90,9 +100,29 @@ def main():
             print(f"BX={bx:3d} BYb={by:3d}: {t if isinstance(t, str) else f'{t:7.2f} ms'}",
                   flush=True)
 
+    print(f"=== compose fused bwd only (res {res}, b{B}) ===", flush=True)
+    orig_pick_by_cbwd = eu._pick_by_cbwd
+    orig_pick_bx_bwd = eu._pick_bx_bwd
+    for bx in (8, 16, 32):
+        for by in (8, 16, 32):
+            if res % bx or res % by:
+                continue
+            wu._pick_block = lambda X, YZ=0, bx=bx: bx if X % bx == 0 else 0
+            eu._pick_by_cbwd = lambda Y, Z, by=by: by if Y % by == 0 else 0
+
+            def cbwd(x):
+                return eu._compose_bwd_fused_dispatch(x, m0, 0.2, g)
+
+            t = measure(cbwd, mk_p)
+            print(f"BX={bx:3d} BYc={by:3d}: {t if isinstance(t, str) else f'{t:7.2f} ms'}",
+                  flush=True)
+    eu._pick_by_cbwd = orig_pick_by_cbwd
+    eu._pick_bx_bwd = orig_pick_bx_bwd
+
     wu._pick_block = orig_pick_block
     wu._pick_by = orig_pick_by
     eu._pick_by_bwd = orig_pick_by_bwd
+    eu._fwd_blocks = orig_fwd_blocks
 
 
 if __name__ == "__main__":

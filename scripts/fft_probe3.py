@@ -111,6 +111,47 @@ def sharp_packed_flat(m, params):
     return out.reshape(m.shape).astype(m.dtype)
 
 
+def _rfftn_sharp(m, params):
+    """Legacy unpacked rfftn path (packing force-disabled).  NOTE: on this
+    backend it is numerically broken for >= 12 batched 128^3 transforms —
+    kept here for timing comparison only."""
+    from lagomorph_tpu.ops.fluid import set_fluid_packing, fluid_operator
+
+    prev = set_fluid_packing(False)
+    try:
+        return fluid_operator(m, params, True)
+    finally:
+        set_fluid_packing(prev)
+
+
+def sharp_packed_flat_composed(m, params):
+    """packed-flat with manually composed per-axis ffts (z, y, x separately)
+    instead of one fftn call — probes whether XLA's fftn lowering leaves
+    per-axis scheduling on the table."""
+    B, d = m.shape[:2]
+    spatial = tuple(m.shape[2:])
+    n = B * d
+    x = m.reshape((n,) + spatial)
+    pad = n % 2
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((1,) + spatial, m.dtype)], axis=0)
+    half = x.shape[0] // 2
+    c = jax.lax.complex(x[:half], x[half:])
+    F = jnp.fft.fft(c, axis=3)
+    F = jnp.fft.fft(F, axis=2)
+    F = jnp.fft.fft(F, axis=1)
+    M = _fluid_multiplier_traced(spatial, params, True, jnp.float32,
+                                 full_spectrum=True)
+    F = F * M[(0, 0)][None]
+    F = jnp.fft.ifft(F, axis=1)
+    F = jnp.fft.ifft(F, axis=2)
+    y = jnp.fft.ifft(F, axis=3)
+    out = jnp.concatenate([y.real, y.imag], axis=0)
+    if pad:
+        out = out[:n]
+    return out.reshape(m.shape).astype(m.dtype)
+
+
 def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -131,9 +172,12 @@ def main():
         err = float(jnp.abs(got - ref).max())
         print(f"{name} sharp rel err: {err / sc:.3e}", flush=True)
 
-    measure("sharp rfftn (current)", metric.sharp, mk_m)
+    measure("sharp rfftn (legacy unpacked)",
+            lambda x: _rfftn_sharp(x, params), mk_m)
     measure("sharp packed-batch fftn", lambda x: sharp_packed_batch(x, params), mk_m)
     measure("sharp packed-flat fftn", lambda x: sharp_packed_flat(x, params), mk_m)
+    measure("sharp packed-flat composed-axis",
+            lambda x: sharp_packed_flat_composed(x, params), mk_m)
 
     # raw transform building blocks (per call, at the stated array shape)
     axes = (2, 3, 4)

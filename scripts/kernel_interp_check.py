@@ -1,0 +1,95 @@
+"""CPU interpret-mode correctness harness for the fused Pallas kernels.
+
+Monkeypatches ``pl.pallas_call`` with ``interpret=True`` so every fused
+kernel (Ad* fwd/bwd, compose fwd/bwd, whole-Y and y-blocked variants) runs
+on CPU against the composed XLA reference.  Interpret mode is NOT Mosaic —
+final validation stays scripts/tpu_checks.py on hardware — but it catches
+index/roll/mask algebra bugs during kernel development without burning TPU
+compile cycles (~f32-roundoff agreement expected, not bit-exactness).
+
+Usage: python scripts/kernel_interp_check.py
+Exit 0 on all-ok.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from functools import partial
+from jax.experimental import pallas as pl
+
+pl.pallas_call = partial(pl.pallas_call, interpret=True)
+
+import lagomorph_tpu.ops.pallas.warp_unit as wu
+import lagomorph_tpu.ops.pallas.epdiff_unit as eu
+from lagomorph_tpu.ops.sampling import sample_displacement_unit
+from lagomorph_tpu.ops.diff import jacobian_times_vectorfield as jtv
+
+wu.pallas_warp_enabled = lambda: True  # gates check the backend; force on
+
+
+def adstar_ref(p, m):
+    return jtv(p, sample_displacement_unit(m, p), displacement=True)
+
+
+def check(name, got, want, tol):
+    err = float(jnp.abs(got - want).max())
+    ok = err < tol
+    print(f"{name:46s} maxerr {err:9.2e}  {'ok' if ok else 'FAIL'}",
+          flush=True)
+    return ok
+
+
+def main():
+    rng = np.random.default_rng(0)
+    ok = True
+    # (shape, expected variant): whole-Y needs Y*Z <= 8192 (+ bwd vmem
+    # guard); y-blocked needs Z % 128 == 0 and a _pick_by_bwd block
+    cases = [
+        ((16, 8, 128), "whole-Y"),
+        ((16, 96, 128), "y-blocked"),
+    ]
+    for sp, variant in cases:
+        B = 1
+        p = jnp.asarray(rng.uniform(-0.9, 0.9, (B, 3) + sp), dtype=jnp.float32)
+        m0 = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+
+        got = eu._adstar_fwd_dispatch(p, m0)
+        ok &= check(f"adstar fwd {variant} {sp}", got, adstar_ref(p, m0), 5e-6)
+
+        bw = eu._adstar_bwd_fused_dispatch(p, m0, g)
+        assert bw is not None, f"adstar bwd dispatch missing for {sp}"
+        _, vjp_r = jax.vjp(adstar_ref, p, m0)
+        gr = vjp_r(g)
+        ok &= check(f"adstar bwd d_p {variant} {sp}", bw[0], gr[0], 5e-5)
+        ok &= check(f"adstar bwd d_m0 {variant} {sp}", bw[1], gr[1], 5e-5)
+
+        s = 0.2
+        v = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 3) + sp), dtype=jnp.float32)
+
+        def comp_ref(p_, v_):
+            return s * v_ + sample_displacement_unit(p_, s * v_)
+
+        got = eu._compose_fwd_dispatch(p, v, s)
+        ok &= check(f"compose fwd {variant} {sp}", got, comp_ref(p, v), 5e-6)
+
+        cb = eu._compose_bwd_fused_dispatch(p, v, s, g)
+        assert cb is not None, f"compose bwd dispatch missing for {sp}"
+        _, vjp_c = jax.vjp(comp_ref, p, v)
+        gc = vjp_c(g)
+        ok &= check(f"compose bwd d_p {variant} {sp}", cb[0], gc[0], 5e-5)
+        ok &= check(f"compose bwd d_v {variant} {sp}", cb[1], gc[1], 5e-5)
+
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,37 @@ import lagomorph_tpu.ops.pallas.warp_unit as wu
 from lagomorph_tpu.ops.sampling import sample_displacement_unit
 
 
+def check_fluid_ground_truth():
+    """Production fluid sharp vs a float64 numpy ground truth at the
+    headline bench shape class (128^3, batch 4 => 12 transforms).
+
+    Guards against the XLA TPU rfftn/irfftn batching bug found 2026-08-17:
+    the rfftn->irfftn round trip silently produces garbage (~1.7 roundtrip
+    error) for >= 12 batched 128^3 transforms, which is exactly the bench
+    config — the packed-C2C default avoids it, and this check fails loudly
+    if the production path ever regresses into the broken envelope."""
+    import numpy.fft as nf
+    from lagomorph_tpu.ops.fluid import fluid_multiplier, fluid_operator
+
+    rng = np.random.default_rng(7)
+    sp = (128, 128, 128)
+    params = (0.1, 0.0, 0.01)
+    m = jnp.asarray(rng.standard_normal((4, 3) + sp), dtype=jnp.float32)
+    got = np.asarray(jax.jit(lambda x: fluid_operator(x, params, True))(m))
+    M = fluid_multiplier(sp, params, True, np.float64)
+    ok = True
+    # beta == 0: the multiplier is diagonal with equal entries — one
+    # channel's scalar multiply is the exact ground truth per channel
+    for b, c in ((0, 0), (3, 2)):
+        x = np.asarray(m[b, c], dtype=np.float64)
+        want = nf.irfftn(nf.rfftn(x) * M[0, 0], s=sp, axes=(0, 1, 2))
+        err = np.abs(got[b, c] - want).max() / np.abs(want).max()
+        print(f"fluid sharp 128^3 b4 vs f64 ground truth [{b},{c}]: "
+              f"{err:.3e}", flush=True)
+        ok &= err < 1e-4
+    return ok
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--quick"]
     quick = "--quick" in sys.argv[1:]
@@ -53,6 +84,7 @@ def main():
 
     # broadcast image batch
     if quick:
+        ok &= check_fluid_ground_truth()
         _quick_rest(rng, res, B, sp, ok)
         return
     I1 = jnp.asarray(rng.standard_normal((1, 1) + sp), dtype=jnp.float32)
@@ -187,13 +219,17 @@ def main():
         print(f"{name} relerr: {err:.3e}")
         ok &= err < 1e-5
 
+    ok &= check_fluid_ground_truth()
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
 
 def _quick_rest(rng, res, B, sp, ok):
-    """Quick-mode tail: fused Ad*/compose fwd+bwd at one shape + the
-    hoisted-regime dispatch equivalence.  ~6 small compiles."""
+    """Quick-mode tail: fused Ad*/compose fwd+bwd at a whole-Y shape AND a
+    y-blocked shape (the 128^3-class geometry the bench actually runs,
+    covering the BX=32/BY=16 block envelope) + the hoisted-regime dispatch
+    equivalence."""
     import lagomorph_tpu.ops.pallas.epdiff_unit as eu
     from lagomorph_tpu.ops.diff import jacobian_times_vectorfield as jtv
 
@@ -214,6 +250,33 @@ def _quick_rest(rng, res, B, sp, ok):
         err = float(jnp.abs(a - b).max())
         print(f"quick adstar bwd {name} maxerr: {err:.3e}")
         ok &= err < 1e-3
+
+    # y-blocked geometry (Y*Z > 8192, Z % 128 == 0) at the round-3 block
+    # envelope (BX=32, BY=16): the bench's 128^3 kernels are this variant
+    spb = (32, 96, 128)
+    pb = jnp.asarray(rng.uniform(-1.0, 0.999, (1, 3) + spb), dtype=jnp.float32)
+    mb = jnp.asarray(rng.standard_normal((1, 3) + spb), dtype=jnp.float32)
+    gb = jnp.asarray(rng.standard_normal((1, 3) + spb), dtype=jnp.float32)
+    bw = eu._adstar_bwd_fused_dispatch(pb, mb, gb)
+    assert bw is not None, "yb fused bwd dispatch did not engage"
+    _, vjp_rb = jax.vjp(adstar_ref, pb, mb)
+    grb = vjp_rb(gb)
+    for name, a, b in (("d_p", bw[0], grb[0]), ("d_m0", bw[1], grb[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick adstar yb bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-3
+    cb = eu._compose_bwd_fused_dispatch(pb, mb, 0.2, gb)
+    assert cb is not None, "yb fused compose bwd dispatch did not engage"
+
+    def comp_refb(p, v):
+        return 0.2 * v + sample_displacement_unit(p, 0.2 * v)
+
+    _, vjp_cb = jax.vjp(comp_refb, pb, mb)
+    gcb = vjp_cb(gb)
+    for name, a, b in (("d_p", cb[0], gcb[0]), ("d_v", cb[1], gcb[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick compose yb bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-4
 
     s = 0.2
 

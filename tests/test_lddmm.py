@@ -220,3 +220,23 @@ def test_expmap_hoisted_dispatch_logic(rng, monkeypatch):
     for m in (m_small, m_big):
         g = jax.grad(lambda mm: jnp.sum(lm.expmap(metric, mm, num_steps=3) ** 2))(m)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_shooting_regime_ok_probe(rng):
+    """The trajectory-validity probe: True for small (stable-regime)
+    momenta, False when displacements exceed one voxel per substep."""
+    import jax
+    import jax.numpy as jnp
+    from lagomorph_tpu.lddmm import shooting_regime_ok
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    small = jnp.asarray(
+        rng.standard_normal((1, 3, 12, 12, 12)) * 1e-6, dtype=jnp.float32
+    )
+    big = jnp.asarray(
+        rng.standard_normal((1, 3, 12, 12, 12)) * 50.0, dtype=jnp.float32
+    )
+    assert bool(jax.jit(
+        lambda m: shooting_regime_ok(metric, m, num_steps=3))(small))
+    assert not bool(jax.jit(
+        lambda m: shooting_regime_ok(metric, m, num_steps=3))(big))

@@ -128,7 +128,9 @@ def test_traced_multiplier_matches_concrete(dim, inverse):
 
 @pytest.mark.parametrize("inverse", [False, True])
 @pytest.mark.parametrize(
-    "B,dim,beta", [(4, 3, 0.0), (2, 3, 0.01), (1, 3, 0.0), (3, 2, 0.0), (2, 2, 0.01)]
+    "B,dim,beta",
+    [(4, 3, 0.0), (2, 3, 0.01), (1, 3, 0.0), (3, 2, 0.0), (2, 2, 0.01),
+     (3, 3, 0.02), (1, 2, 0.03)]  # odd B + beta!=0 -> batch_pad mode
 )
 def test_packed_fft_matches_rfftn(rng, B, dim, beta, inverse):
     """Packed-pair complex transforms (one fftn per two real fields; valid
