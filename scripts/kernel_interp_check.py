@@ -71,6 +71,12 @@ def main():
         ok &= check(f"adstar bwd d_p {variant} {sp}", bw[0], gr[0], 5e-5)
         ok &= check(f"adstar bwd d_m0 {variant} {sp}", bw[1], gr[1], 5e-5)
 
+        # full custom-vjp route (residual plumbing + dispatch)
+        _, vjp_p = jax.vjp(eu.ad_star_unit_pallas, p, m0)
+        gp = vjp_p(g)
+        ok &= check(f"adstar vjp route d_p {variant} {sp}", gp[0], gr[0], 5e-5)
+        ok &= check(f"adstar vjp route d_m0 {variant} {sp}", gp[1], gr[1], 5e-5)
+
         s = 0.2
         v = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 3) + sp), dtype=jnp.float32)
 
