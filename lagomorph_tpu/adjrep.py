@@ -68,15 +68,20 @@ def Ad_star(phiinv, m, mode=None):
     statically for ``mode="unit"``, by runtime bound check under auto."""
     from .ops.interp import get_warp_mode
     from .ops.pallas import epdiff_unit as _eu
+    from .ops.pallas import epdiff2d as _e2
 
     # honor the global set_warp_mode() escape hatch: under a forced
     # general/bounded mode the fused/cond dispatch must not run (debug/parity)
     effective = mode if mode is not None else get_warp_mode()
-    if effective in ("auto", "unit") and _eu.ad_star_supported(
-        phiinv.shape, m.shape, phiinv.dtype
-    ):
+    fused = None
+    if effective in ("auto", "unit"):
+        if _eu.ad_star_supported(phiinv.shape, m.shape, phiinv.dtype):
+            fused = _eu.ad_star_unit_pallas
+        elif _e2.supported(phiinv.shape, m.shape, phiinv.dtype):
+            fused = _e2.ad_star2d_pallas
+    if fused is not None:
         if effective == "unit":
-            return _eu.ad_star_unit_pallas(phiinv, m)
+            return fused(phiinv, m)
         import jax
         import jax.numpy as jnp
 
@@ -89,7 +94,7 @@ def Ad_star(phiinv, m, mode=None):
         # the fused op has a custom_vjp so it stores only its inputs
         return jax.lax.cond(
             unit,
-            _eu.ad_star_unit_pallas,
+            fused,
             jax.checkpoint(fallback),
             phiinv,
             m,

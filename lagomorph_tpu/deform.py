@@ -49,19 +49,25 @@ def compose(u, v, ds=1.0, dt=1.0, mode=None):
     fused composition kernel (axpy + weights + warp in one VMEM pass)."""
     from .ops.interp import get_warp_mode
     from .ops.pallas import epdiff_unit as _eu
+    from .ops.pallas import epdiff2d as _e2
 
     # global set_warp_mode() escape hatch: forced general/bounded modes skip
     # the fused dispatch entirely (interp_auto below honors the global too)
     effective = mode if mode is not None else get_warp_mode()
+    fused = None
     if (
         isinstance(ds, (int, float))
         and isinstance(dt, (int, float))
         and dt == 1.0
         and effective in ("auto", "unit")
-        and _eu.compose_supported(v.shape, u.shape, u.dtype)
     ):
+        if _eu.compose_supported(v.shape, u.shape, u.dtype):
+            fused = _eu.compose_disp_vel_pallas
+        elif _e2.supported(v.shape, u.shape, u.dtype):
+            fused = _e2.compose2d_pallas
+    if fused is not None:
         if effective == "unit":
-            return _eu.compose_disp_vel_pallas(v, u, float(ds))
+            return fused(v, u, float(ds))
         import jax
         import jax.numpy as jnp
 
@@ -73,7 +79,7 @@ def compose(u, v, ds=1.0, dt=1.0, mode=None):
 
         return jax.lax.cond(
             unit,
-            lambda v_, u_: _eu.compose_disp_vel_pallas(v_, u_, float(ds)),
+            lambda v_, u_: fused(v_, u_, float(ds)),
             jax.checkpoint(fallback),
             v,
             u,

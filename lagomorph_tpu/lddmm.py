@@ -104,12 +104,19 @@ def expmap(
         if transport_mode is None and compose_mode is None:
             from .ops.interp import get_warp_mode
             from .ops.pallas import epdiff_unit as _eu
+            from .ops.pallas import epdiff2d as _e2
 
-            if get_warp_mode() in ("auto", "unit") and _eu.ad_star_supported(
-                m0.shape, m0.shape, m0.dtype
-            ):
+            fused = None
+            if get_warp_mode() in ("auto", "unit"):
+                if _eu.ad_star_supported(m0.shape, m0.shape, m0.dtype):
+                    fused = (_eu.ad_star_unit_pallas,
+                             _eu.compose_disp_vel_pallas)
+                elif _e2.supported(m0.shape, m0.shape, m0.dtype):
+                    fused = (_e2.ad_star2d_pallas, _e2.compose2d_pallas)
+            if fused is not None:
                 return _expmap_hoisted(
-                    metric, m0, dt, length, phiinv, mommask, checkpoints
+                    metric, m0, dt, length, phiinv, mommask, checkpoints,
+                    fused,
                 )
     if length <= 0:
         return phiinv
@@ -126,13 +133,17 @@ def expmap(
     return phiinv
 
 
-def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints):
+def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints,
+                    fused):
     """Integrate with static fused unit-tier kernels plus a trajectory
     validity flag; one cond falls back to the exact general-tier
     integration when the regime was ever left (rare: per-substep
     displacements < 1 voxel is the stability condition of the Euler
-    integration itself)."""
-    from .ops.pallas import epdiff_unit as _eu
+    integration itself).
+
+    ``fused``: the ``(ad_star, compose)`` kernel pair for this
+    dimensionality (3D epdiff_unit or 2D epdiff2d)."""
+    ad_star_fused, compose_fused = fused
 
     def in_unit(d):
         return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
@@ -140,12 +151,12 @@ def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints):
     def fast_step(carry, _):
         phiinv, ok = carry
         ok = jnp.logical_and(ok, in_unit(phiinv))
-        m = _eu.ad_star_unit_pallas(phiinv, m0)
+        m = ad_star_fused(phiinv, m0)
         if mommask is not None:
             m = m * mommask
         v = metric.sharp(m)
         ok = jnp.logical_and(ok, in_unit(-dt * v))
-        phiinv = _eu.compose_disp_vel_pallas(phiinv, v, -dt)
+        phiinv = compose_fused(phiinv, v, -dt)
         return (phiinv, ok), None
 
     if checkpoints:

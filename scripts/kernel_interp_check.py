@@ -93,6 +93,47 @@ def main():
         ok &= check(f"compose bwd d_p {variant} {sp}", cb[0], gc[0], 5e-5)
         ok &= check(f"compose bwd d_v {variant} {sp}", cb[1], gc[1], 5e-5)
 
+    # ---- 2D kernels (epdiff2d) ---------------------------------------
+    import lagomorph_tpu.ops.pallas.epdiff2d as e2
+
+    for sp2 in ((32, 128), (48, 256)):
+        B = 2
+        p = jnp.asarray(rng.uniform(-0.9, 0.9, (B, 2) + sp2), dtype=jnp.float32)
+        m0 = jnp.asarray(rng.standard_normal((B, 2) + sp2), dtype=jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, 2) + sp2), dtype=jnp.float32)
+        assert e2.supported(p.shape, m0.shape, p.dtype), sp2
+
+        got = e2.ad_star2d_pallas(p, m0)
+        ok &= check(f"2d adstar fwd {sp2}", got, adstar_ref(p, m0), 5e-6)
+        _, vjp_p = jax.vjp(e2.ad_star2d_pallas, p, m0)
+        _, vjp_r = jax.vjp(adstar_ref, p, m0)
+        gp, gr = vjp_p(g), vjp_r(g)
+        ok &= check(f"2d adstar bwd d_p {sp2}", gp[0], gr[0], 5e-5)
+        ok &= check(f"2d adstar bwd d_m0 {sp2}", gp[1], gr[1], 5e-5)
+
+        # broadcast m0 batch
+        m1 = m0[:1]
+        got = e2.ad_star2d_pallas(p, m1)
+        ok &= check(f"2d adstar bcast fwd {sp2}", got, adstar_ref(p, m1), 5e-6)
+        _, vjp_p = jax.vjp(e2.ad_star2d_pallas, p, m1)
+        _, vjp_r = jax.vjp(adstar_ref, p, m1)
+        gp, gr = vjp_p(g), vjp_r(g)
+        ok &= check(f"2d adstar bcast d_m0 {sp2}", gp[1], gr[1], 5e-5)
+
+        s = 0.2
+        v = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 2) + sp2), dtype=jnp.float32)
+
+        def comp_ref2(p_, v_):
+            return s * v_ + sample_displacement_unit(p_, s * v_)
+
+        got = e2.compose2d_pallas(p, v, s)
+        ok &= check(f"2d compose fwd {sp2}", got, comp_ref2(p, v), 5e-6)
+        _, vjp_c = jax.vjp(lambda p_, v_: e2.compose2d_pallas(p_, v_, s), p, v)
+        _, vjp_cr = jax.vjp(comp_ref2, p, v)
+        gc, gcr = vjp_c(g), vjp_cr(g)
+        ok &= check(f"2d compose bwd d_p {sp2}", gc[0], gcr[0], 5e-5)
+        ok &= check(f"2d compose bwd d_v {sp2}", gc[1], gcr[1], 5e-5)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

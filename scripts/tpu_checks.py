@@ -310,6 +310,51 @@ def _quick_rest(rng, res, B, sp, ok):
     print(f"quick hoisted-in-regime relerr: {err:.3e}")
     ok &= err < 1e-5
 
+    # 2D fused kernels (epdiff2d) at the 2D bench shape class
+    import lagomorph_tpu.ops.pallas.epdiff2d as e2
+
+    sp2 = (256, 256)
+    p2 = jnp.asarray(rng.uniform(-1.0, 0.999, (2, 2) + sp2), dtype=jnp.float32)
+    m2 = jnp.asarray(rng.standard_normal((2, 2) + sp2), dtype=jnp.float32)
+    g2 = jnp.asarray(rng.standard_normal((2, 2) + sp2), dtype=jnp.float32)
+    assert e2.supported(p2.shape, m2.shape, p2.dtype)
+    err = float(jnp.abs(e2.ad_star2d_pallas(p2, m2) - adstar_ref(p2, m2)).max())
+    print(f"quick 2d adstar fwd maxerr: {err:.3e}")
+    ok &= err < 1e-4
+    _, vjp_f = jax.vjp(e2.ad_star2d_pallas, p2, m2)
+    _, vjp_r = jax.vjp(adstar_ref, p2, m2)
+    gf, gr = vjp_f(g2), vjp_r(g2)
+    for name, a, b in (("d_p", gf[0], gr[0]), ("d_m0", gf[1], gr[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick 2d adstar bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-3
+
+    def comp_ref2(p, v):
+        return 0.2 * v + sample_displacement_unit(p, 0.2 * v)
+
+    err = float(jnp.abs(e2.compose2d_pallas(p2, m2, 0.2) - comp_ref2(p2, m2)).max())
+    print(f"quick 2d compose fwd maxerr: {err:.3e}")
+    ok &= err < 1e-5
+    _, vjp_f = jax.vjp(lambda p, v: e2.compose2d_pallas(p, v, 0.2), p2, m2)
+    _, vjp_r = jax.vjp(comp_ref2, p2, m2)
+    gf, gr = vjp_f(g2), vjp_r(g2)
+    for name, a, b in (("d_p", gf[0], gr[0]), ("d_v", gf[1], gr[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick 2d compose bwd {name} maxerr: {err:.3e}")
+        ok &= err < 1e-4
+
+    # 2D hoisted expmap: fused scan matches the static unit path
+    m2s = jnp.asarray(rng.standard_normal((2, 2) + sp2) * 1e-6, dtype=jnp.float32)
+    h_auto = jax.jit(lambda m: lm.expmap(metric, m, num_steps=3))(m2s)
+    h_ref = jax.jit(
+        lambda m: lm.expmap(metric, m, num_steps=3,
+                            transport_mode="unit", compose_mode="unit")
+    )(m2s)
+    scale = max(float(jnp.abs(h_ref).max()), 1e-30)
+    err = float(jnp.abs(h_auto - h_ref).max()) / scale
+    print(f"quick 2d hoisted-in-regime relerr: {err:.3e}")
+    ok &= err < 1e-5
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
