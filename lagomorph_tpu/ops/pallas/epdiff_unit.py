@@ -1344,12 +1344,14 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
 
-def _pick_by_cbwd(Y: int, Z: int) -> int:
-    """y-block for the fused compose backward: window <= 4352 lanes (the
-    scoped-vmem-validated BY=32 at Z=128 envelope; BY=32 at Z=256 wanted
-    21.1M vs the 16M limit)."""
+def _pick_by_cbwd(Y: int, Z: int, BX: int = 16) -> int:
+    """y-block for the fused compose backward (1-voxel y halo).  Budget:
+    ``(BX+16)*(BY+2)*Z <= 105k`` window lanes — the measured round-3
+    envelope at Z=128 (BX=8/BY=32 = 104,448 compiles; BX=16/BY=32 and
+    BX=32/BY=16 do not).  Timings at 128^3 b4: BX=32/BY=8 4.27 ms ~=
+    BX=16/BY=16 4.18 ms, from ~6-8 ms in round 2."""
     for by in (32, 16, 8, 4, 2):
-        if Y % by == 0 and (by + 2) * Z <= 4352:
+        if Y % by == 0 and (BX + 16) * (by + 2) * Z <= 105_000:
             return by
     return 0
 
@@ -1390,9 +1392,11 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
             ],
         )(ppad, vpad, gpad)
         return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
-    if wu.yblocked_supported(shp, v.shape, v.dtype) and _pick_by_cbwd(Y, Z):
-        BX = wu._pick_block(X)
-        BY = _pick_by_cbwd(Y, Z)
+    if wu.yblocked_supported(shp, v.shape, v.dtype) and _pick_by_cbwd(
+        Y, Z, _pick_bx_bwd(X)
+    ):
+        BX = _pick_bx_bwd(X)
+        BY = _pick_by_cbwd(Y, Z, BX)
         BL = BY * Z
         w1 = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
         ppad = jnp.pad(phiinv, w1, mode="edge").reshape(N, 3, X + 16, (Y + 2) * Z)

@@ -108,7 +108,10 @@ def main():
             if res % bx or res % by:
                 continue
             wu._pick_block = lambda X, YZ=0, bx=bx: bx if X % bx == 0 else 0
-            eu._pick_by_cbwd = lambda Y, Z, by=by: by if Y % by == 0 else 0
+            eu._pick_bx_bwd = lambda X, bx=bx: bx if X % bx == 0 else 0
+            eu._pick_by_cbwd = (
+                lambda Y, Z, BX=16, by=by: by if Y % by == 0 else 0
+            )
 
             def cbwd(x):
                 return eu._compose_bwd_fused_dispatch(x, m0, 0.2, g)
