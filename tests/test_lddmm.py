@@ -144,14 +144,15 @@ def test_expmap_peeled_first_step_exact(rng):
     assert np.array_equal(np.asarray(c), np.asarray(d))
 
 
-def test_fluid_dft_matmul_matches_fft(rng):
-    """The matmul-DFT fluid path matches the FFT path to f32 tolerance and
-    stays numerically self-adjoint."""
+@pytest.mark.parametrize("B,beta", [(2, 0.0), (1, 0.0), (3, 0.01), (2, 0.01)])
+def test_fluid_dft_matmul_matches_fft(rng, B, beta):
+    """The (round-3 packed) matmul-DFT fluid path matches the FFT path to
+    f32 tolerance across packing modes and stays numerically self-adjoint."""
     from lagomorph_tpu.ops import fluid
 
-    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    metric = lm.FluidMetric([0.1, beta, 0.01])
     m = jnp.asarray(
-        rng.standard_normal((2, 3, 8, 8, 8)), dtype=jnp.float32
+        rng.standard_normal((B, 3, 8, 8, 8)), dtype=jnp.float32
     )
     ref_s = np.asarray(metric.sharp(m))
     ref_f = np.asarray(metric.flat(m))
