@@ -37,10 +37,19 @@ builder = lm.LDDMMAtlasBuilder(
 )
 builder.initialize()
 t0 = time.perf_counter()
-builder.run()
+# run epoch-by-epoch so first-epoch compile is separable from steady state
+epoch_walls = []
+for builder._epoch in range(epochs):
+    te = time.perf_counter()
+    el, er = builder.epoch()
+    builder.epoch_losses.append(el)
+    builder.epoch_reg_terms.append(er)
+    epoch_walls.append(time.perf_counter() - te)
 t1 = time.perf_counter()
 print(f"res={res} n={n} bs={bs} epochs={epochs}")
-print(f"wall: {t1-t0:.1f}s total, {(t1-t0)/epochs:.1f}s/epoch")
+print(f"wall: {t1-t0:.1f}s total, {(t1-t0)/epochs:.1f}s/epoch "
+      f"(per-epoch: {', '.join(f'{w:.1f}' for w in epoch_walls)}; "
+      f"steady-state = later epochs, first includes compile)")
 print("epoch losses:", [f"{l:.6f}" for l in builder.epoch_losses])
 # non-increasing with tolerance: near a fixed point successive epoch losses
 # can agree to ~1e-9 and a strict < is flaky

@@ -71,6 +71,13 @@ def main():
             return jnp.sum((Idef - img) ** 2) / img.size + reg
         return jnp.sum(h * h) / img.size + reg
 
+    def loss_I(m, II):
+        v = metric.sharp(m)
+        h = lm.expmap(metric, m, num_steps=5, v0=v)
+        reg = 0.1 * jnp.sum(v * m) / img.size
+        Idef = lm.interp_auto(II, h)
+        return jnp.sum((Idef - img) ** 2) / img.size + reg
+
     for tm, cm, tag in ((None, None, "auto"), ("unit", "unit", "static")):
         measure(f"shoot fwd only ({tag})",
                 lambda m, tm=tm, cm=cm: lm.expmap(
@@ -84,6 +91,14 @@ def main():
         measure(f"loss fwd+bwd no-atlas-warp ({tag})",
                 lambda m, tm=tm, cm=cm: jax.grad(
                     lambda mm: loss(mm, tm, cm, with_warp=False))(m), mk_m)
+
+    # isolate the atlas-image gradient path: grad wrt m only vs (m, I)
+    measure("loss grad wrt m only (auto)",
+            lambda m: jax.grad(lambda mm: loss(mm, None, None))(m), mk_m)
+    measure("loss grad wrt (m, I) (auto)",
+            lambda m: jax.grad(
+                lambda mm, II: loss_I(mm, II), argnums=(0, 1))(m, I)[0],
+            mk_m)
 
     step = make_lddmm_atlas_step(
         metric, reg_weight=0.1, learning_rate_pose=1e-6,
