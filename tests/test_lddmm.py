@@ -241,3 +241,60 @@ def test_shooting_regime_ok_probe(rng):
         lambda m: shooting_regime_ok(metric, m, num_steps=3))(small))
     assert not bool(jax.jit(
         lambda m: shooting_regime_ok(metric, m, num_steps=3))(big))
+
+
+def test_expmap_hoisted_dispatch_2d_branch(rng, monkeypatch):
+    """The 2D fused-kernel branch of the hoisted dispatch (epdiff2d) is
+    selected when 3D support is absent, and produces the general-path
+    result via the same validity-flag scheme (kernels substituted with
+    their exact XLA equivalents on CPU)."""
+    import jax
+    from lagomorph_tpu.ops.pallas import epdiff_unit as eu
+    from lagomorph_tpu.ops.pallas import epdiff2d as e2
+    from lagomorph_tpu.ops import sampling, diff
+
+    monkeypatch.setattr(eu, "ad_star_supported", lambda *a: False)
+    monkeypatch.setattr(eu, "compose_supported", lambda *a: False)
+    monkeypatch.setattr(e2, "supported", lambda *a: True)
+    monkeypatch.setattr(
+        e2, "ad_star2d_pallas",
+        lambda p, m: diff.jacobian_times_vectorfield(
+            p, sampling.sample_displacement_unit(m, p), displacement=True
+        ),
+    )
+    monkeypatch.setattr(
+        e2, "compose2d_pallas",
+        lambda p, v, s: s * v + sampling.sample_displacement_unit(p, s * v),
+    )
+
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+
+    def general_expmap(m, N):
+        dt = 1.0 / N
+        phiinv = jnp.zeros_like(m)
+        for _ in range(N):
+            phiinv = lm.EPDiff_step(
+                metric, m, dt, phiinv,
+                transport_mode="general", compose_mode="general",
+            )
+        return phiinv
+
+    for scale, atol in ((1e-4, 1e-12), (5e-3, 1e-10)):
+        m = jnp.asarray(rng.standard_normal((2, 2, 8, 8)) * scale)
+        got = lm.expmap(metric, m, num_steps=4)
+        want = general_expmap(m, 4)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=atol)
+
+    # Ad_star / compose call-site dispatch also routes through the 2D pair
+    from lagomorph_tpu import adjrep, deform
+
+    p = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 2, 8, 8)))
+    m = jnp.asarray(rng.standard_normal((2, 2, 8, 8)))
+    want = diff.jacobian_times_vectorfield(
+        p, sampling.sample_displacement_unit(m, p), displacement=True
+    )
+    got = adjrep.Ad_star(p, m)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+    got = deform.compose_disp_vel(p, m, dt=0.2)
+    want = 0.2 * m + sampling.sample_displacement_unit(p, 0.2 * m)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
