@@ -104,6 +104,16 @@ def _weights(d, axis, o):
     return (fa == 0.0).astype(da.dtype) * ta
 
 
+# On the 8-row x-halo (investigated and closed in round 3): taps reach only
+# +-1 but every kernel pads x by (8, 8).  This is FORCED by Mosaic's
+# sublane alignment, not sloppiness: in-kernel row slices are free only at
+# multiples of 8, so the center block must start at row 0 or 8; starting at
+# 0 leaves no pre-halo, hence 8 — and the DMA width must be a multiple of
+# 8, hence 8 post-halo too.  A 4-row-halo variant makes every center
+# extraction a roll+slice (the weight slices alone run 81x per backward
+# call), costing more than the 17-25%% window-compute saving.  Block-size
+# tuning (bigger BX amortizing the fixed halo) is the effective lever and
+# is encoded in the pickers below from measured sweeps.
 # ---------------------------------------------------------------------------
 # whole-Y variant: (Y, Z) flattened into one lane axis
 # ---------------------------------------------------------------------------
