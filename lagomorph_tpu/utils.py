@@ -138,6 +138,24 @@ class Tool:
             type=int,
             help="This process's id, for multi-host jax.distributed",
         )
+        group.add_argument(
+            "--fluid_transform",
+            default="auto",
+            choices=["auto", "packed", "fft", "dft"],
+            help="Fluid-solve transform: auto (packed complex pairs on TPU,"
+            " rfftn elsewhere), packed (force pairs), fft (force legacy"
+            " rfftn — numerically unsafe for >= 12 batched 128^3 transforms"
+            " on some TPU runtimes), dft (opt-in MXU matmul-DFT; faster but"
+            " ~3.8e-5 relative error vs 2e-6)",
+        )
+        group.add_argument(
+            "--warp_mode",
+            default="auto",
+            choices=["auto", "unit", "bounded", "general"],
+            help="Global warp-tier mode (set_warp_mode): auto = runtime"
+            " tiering + fused kernels; general forces the gather path and"
+            " disables every fused fast path (debug/parity)",
+        )
 
     def _initialize_compute(self, args):
         """Initialize the JAX runtime and build the global data-parallel mesh
@@ -147,6 +165,19 @@ class Tool:
 
         if getattr(args, "platform", None):
             jax.config.update("jax_platforms", args.platform)
+        ft = getattr(args, "fluid_transform", "auto")
+        if ft != "auto":
+            from .ops.fluid import set_fluid_dft, set_fluid_packing
+
+            if ft == "dft":
+                set_fluid_dft(True)
+            else:
+                set_fluid_packing(ft == "packed")
+        wm = getattr(args, "warp_mode", "auto")
+        if wm != "auto":
+            from .ops.interp import set_warp_mode
+
+            set_warp_mode(wm)
         if getattr(args, "coordinator_address", None):
             jax.distributed.initialize(
                 coordinator_address=args.coordinator_address,

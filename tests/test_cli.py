@@ -141,3 +141,23 @@ def test_cli_help():
     assert r.returncode == 0
     for sub in ("affine", "data", "lddmm"):
         assert sub in r.stdout
+
+
+def test_cli_fluid_transform_and_warp_mode_flags(image_h5, tmp_path):
+    """--fluid_transform / --warp_mode compute flags are accepted and the
+    atlas still trains (values equal the default path to f32 tolerance)."""
+    out = str(tmp_path / "atlas_flags.h5")
+    r = run_cli(
+        [
+            "lddmm", "atlas", image_h5, out,
+            "--num_epochs", "1", "--batch_size", "2",
+            "--lddmm_integration_steps", "2",
+            "--fluid_transform", "packed",
+            "--warp_mode", "general",
+        ]
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    import h5py
+
+    with h5py.File(out, "r") as f:
+        assert np.isfinite(f["atlas"][...]).all()
