@@ -144,7 +144,7 @@ def _safe_sqrt_jnp(x):
 
 
 def _fluid_multiplier_traced(spatial, params, inverse, dtype,
-                             full_spectrum=False):
+                             full_spectrum=False, bitrev=False):
     """Traced (jnp) construction of the per-frequency multiplier entries.
 
     Same math as :func:`fluid_multiplier`, but built from iota inside the
@@ -156,6 +156,10 @@ def _fluid_multiplier_traced(spatial, params, inverse, dtype,
     (used by the matmul-DFT path, which keeps the full complex spectrum);
     the cos/sin LUT formulas extend verbatim.
 
+    ``bitrev``: permute each axis LUT into radix-2 bit-reversed frequency
+    order (requires full_spectrum and power-of-two axes) — the order the
+    Pallas DIF/DIT pipeline (ops/pallas/fft_unit.py) keeps spectra in.
+
     Returns a dict {(a, b): array} of the symmetric matrix entries
     (a >= b), each of shape ``freq_shape``.
     """
@@ -166,11 +170,18 @@ def _fluid_multiplier_traced(spatial, params, inverse, dtype,
         if full_spectrum
         else tuple(spatial[:-1]) + (spatial[-1] // 2 + 1,)
     )
+    if bitrev:
+        from .fft_radix import bitrev_perm
+
+        assert full_spectrum
     ws, ss = [], []
     for a in range(d):
         Nf = freq_shape[a]
         N = spatial[a]
-        k = jnp.arange(Nf, dtype=dtype)
+        if bitrev:
+            k = jnp.asarray(bitrev_perm(Nf), dtype=dtype)
+        else:
+            k = jnp.arange(Nf, dtype=dtype)
         shape = [1] * d
         shape[a] = Nf
         ang = 2.0 * jnp.pi * k / N
@@ -467,10 +478,76 @@ def _packing_mode(shape, params, dtype):
     return "batch" if B % 2 == 0 else "batch_pad"
 
 
+# Pallas radix-2 FFT kernels (ops/pallas/fft_unit.py): the whole
+# DIF -> multiply -> DIT convolution runs in VMEM, three HBM round trips
+# per packed field vs XLA FFT's per-stage materializations.
+_FFT_KERNEL = "auto"
+_FFT_KERNEL_AUTO_ENABLED = True
+
+
+def set_fluid_fft_kernel(mode):
+    """Select the Pallas fluid-FFT path: "auto" (MXU-DFT kernels where
+    supported), True/"mxu" (force MXU-DFT), "radix" (force the radix-2
+    reference kernels — measured slower, probe surface), or False (XLA
+    fftn).  Trace-time flag — retrace after changing."""
+    global _FFT_KERNEL
+    assert mode in (True, False, "auto", "mxu", "radix")
+    prev = _FFT_KERNEL
+    _FFT_KERNEL = mode
+    return prev
+
+
+def _fft_kernel_mode(spatial, dtype):
+    """Which Pallas fluid-FFT kernel to use: "mxu", "radix", or None."""
+    if _FFT_KERNEL is False:
+        return None
+    if _FFT_KERNEL == "auto" and not _FFT_KERNEL_AUTO_ENABLED:
+        return None
+    try:
+        from .pallas import fft_unit
+    except Exception:  # pragma: no cover
+        return None
+    spatial = tuple(spatial)
+    if _FFT_KERNEL == "radix":
+        return "radix" if fft_unit.fft_kernel_supported(spatial, dtype) else None
+    if fft_unit.mxu_kernel_supported(spatial, dtype):
+        return "mxu"
+    return None
+
+
 def _fluid_apply_packed(mv, params, inverse, mode):
     B, d = mv.shape[:2]
     spatial = tuple(mv.shape[2:])
     dim = len(spatial)
+    kmode = _fft_kernel_mode(spatial, mv.dtype) if mode == "flat" else None
+    if kmode is not None:
+        from .pallas import fft_unit
+
+        n = B * d
+        x = mv.reshape((n,) + spatial)
+        pad = n % 2
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((1,) + spatial, mv.dtype)], axis=0
+            )
+        half = x.shape[0] // 2
+        if kmode == "mxu":
+            Mn = _fluid_multiplier_traced(
+                spatial, params, inverse, jnp.float32, full_spectrum=True
+            )[(0, 0)]
+            fwd = tuple(_dft_pair(nn, jnp.float32, False) for nn in spatial)
+            inv = tuple(_dft_pair(nn, jnp.float32, True) for nn in spatial)
+            re, im = fft_unit.fluid_flat_mxu(x[:half], x[half:], Mn, fwd, inv)
+        else:
+            Mbr = _fluid_multiplier_traced(
+                spatial, params, inverse, jnp.float32,
+                full_spectrum=True, bitrev=True,
+            )[(0, 0)]
+            re, im = fft_unit.fluid_flat_pallas(x[:half], x[half:], Mbr)
+        out = jnp.concatenate([re, im], axis=0)
+        if pad:
+            out = out[:n]
+        return out.reshape(mv.shape).astype(mv.dtype)
     M = _fluid_multiplier_traced(
         spatial, params, inverse, jnp.float32, full_spectrum=True
     )

@@ -135,14 +135,15 @@ def _adstar2d_fwd_kernel(BX, W, ppad_ref, mpad_ref, out_ref, p_slab, m_slab,
     shape = (2, BX, W)
     z_idx = _lane_idx(shape)
 
+    Wd = {(a, o): _w2(d, a, o) for a in range(2) for o in (-1, 0, 1)}
     mw = jnp.zeros(shape, dtype=d.dtype)
     for ox in (-1, 0, 1):
         rx = pltpu.roll(msl, (-ox) % (BX + 16), 1) if ox != 0 else msl
         base = rx[:, 8 : 8 + BX, :]
-        wx = _w2(d, 0, ox)
+        wx = Wd[(0, ox)]
         for oz in (-1, 0, 1):
             tap = _ztap(base, oz, W, z_idx, W)
-            mw = mw + (wx * _w2(d, 1, oz)) * tap
+            mw = mw + (wx * Wd[(1, oz)]) * tap
 
     xp = pltpu.roll(psl, (BX + 15) % (BX + 16), 1)[:, 8 : 8 + BX, :]
     xm = pltpu.roll(psl, 1, 1)[:, 8 : 8 + BX, :]
@@ -184,8 +185,12 @@ def _adstar2d_bwd_kernel(BX, W, H, ppad_ref, mpad_ref, gpad_ref,
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
 
+    _wc = {}
+
     def wgt(axis, o):
-        return _w2(psl, axis, o)  # (BXW, W)
+        if (axis, o) not in _wc:
+            _wc[(axis, o)] = _w2(psl, axis, o)  # (BXW, W)
+        return _wc[(axis, o)]
 
     # mw at all window rows
     mw = jnp.zeros(shape_w, dtype=psl.dtype)
@@ -216,6 +221,7 @@ def _adstar2d_bwd_kernel(BX, W, H, ppad_ref, mpad_ref, gpad_ref,
     d_mw_c = d_mw[:, 8 : 8 + BX, :]
     acc0 = jnp.zeros((BX, W), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, W), dtype=psl.dtype)
+    DW = {(a, o): _dw2(dctr, a, o) for a in range(2) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         wx = wgt(0, ox)
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
@@ -225,8 +231,8 @@ def _adstar2d_bwd_kernel(BX, W, H, ppad_ref, mpad_ref, gpad_ref,
             # weight-gradient path at center rows
             tap = _ztap(xt, oz, W, z_w, W)[:, 8 : 8 + BX, :]
             gt = d_mw_c[0] * tap[0] + d_mw_c[1] * tap[1]
-            acc0 = acc0 + _dw2(dctr, 0, ox) * wz[8 : 8 + BX, :] * gt
-            acc1 = acc1 + wx[8 : 8 + BX, :] * _dw2(dctr, 1, oz) * gt
+            acc0 = acc0 + DW[(0, ox)] * wz[8 : 8 + BX, :] * gt
+            acc1 = acc1 + wx[8 : 8 + BX, :] * DW[(1, oz)] * gt
             # d_m0 x-transpose; z factored below
             P = w2 * d_mw  # (2, BXW, W)
             Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
@@ -374,14 +380,15 @@ def _compose2d_fwd_kernel(BX, W, s, ppad_ref, v_ref, out_ref, p_slab, sems):
     z_idx = _lane_idx(shape)
     cp.wait()
     psl = p_slab[...]
+    Wd = {(a, o): _w2(d, a, o) for a in range(2) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
         rx = pltpu.roll(psl, (-ox) % (BX + 16), 1) if ox != 0 else psl
         base = rx[:, 8 : 8 + BX, :]
-        wx = _w2(d, 0, ox)
+        wx = Wd[(0, ox)]
         for oz in (-1, 0, 1):
             tap = _ztap(base, oz, W, z_idx, W)
-            acc = acc + (wx * _w2(d, 1, oz)) * tap
+            acc = acc + (wx * Wd[(1, oz)]) * tap
     out_ref[0] = acc
 
 
@@ -415,8 +422,12 @@ def _compose2d_bwd_kernel(BX, W, H, s, ppad_ref, vpad_ref, gpad_ref,
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
 
+    _wc = {}
+
     def wgt(axis, o):
-        return _w2(dsl, axis, o)
+        if (axis, o) not in _wc:
+            _wc[(axis, o)] = _w2(dsl, axis, o)
+        return _wc[(axis, o)]
 
     # d_phiinv = warp transpose of W * g (x at 9, z factored at 3)
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
@@ -448,19 +459,20 @@ def _compose2d_bwd_kernel(BX, W, H, s, ppad_ref, vpad_ref, gpad_ref,
     g_c = gsl[:, 8 : 8 + BX, :]
     acc0 = jnp.zeros((BX, W), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, W), dtype=psl.dtype)
+    Wc = {(a, o): _w2(dctr, a, o) for a in range(2) for o in (-1, 0, 1)}
+    DW = {(a, o): _dw2(dctr, a, o) for a in range(2) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         base = (
             pltpu.roll(psl, (-ox) % BXW, 1)[:, 8 : 8 + BX, :]
             if ox != 0
             else psl[:, 8 : 8 + BX, :]
         )
-        wx = _w2(dctr, 0, ox)
+        wx = Wc[(0, ox)]
         for oz in (-1, 0, 1):
             tap = _ztap(base, oz, W, z_c, W)
             gt = g_c[0] * tap[0] + g_c[1] * tap[1]
-            wz = _w2(dctr, 1, oz)
-            acc0 = acc0 + _dw2(dctr, 0, ox) * wz * gt
-            acc1 = acc1 + wx * _dw2(dctr, 1, oz) * gt
+            acc0 = acc0 + DW[(0, ox)] * Wc[(1, oz)] * gt
+            acc1 = acc1 + wx * DW[(1, oz)] * gt
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1], axis=0)
 
 

@@ -142,27 +142,32 @@ def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab, se
     y_idx = lane // Z
     z_idx = lane - y_idx * Z
 
+    _em = {}
+
     def roll_clamp(A, o, step, idx, n_axis):
         """Lane roll by o*step with clamp fix (edge keeps the unshifted
         value) on the logical axis whose per-lane index is ``idx``."""
         if o == 0:
             return A
         rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        edge = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        k = (step, o > 0)
+        if k not in _em:
+            _em[k] = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(_em[k], A, rolled)
 
-    # fused 27-tap warp of m0
+    # fused 27-tap warp of m0 (per-axis weights hoisted: 9 computes, not 27)
+    W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     mw = jnp.zeros(shape, dtype=d.dtype)
     for ox in (-1, 0, 1):
         rx = pltpu.roll(msl, (-ox) % (BX + 16), 1) if ox != 0 else msl
         base = rx[:, 8 : 8 + BX, :]
-        wx = _weights(d, 0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             xy = roll_clamp(base, oy, Z, y_idx, Y)
-            wxy = wx * _weights(d, 1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp(xy, oz, 1, z_idx, Z)
-                mw = mw + (wxy * _weights(d, 2, oz)) * tap
+                mw = mw + (wxy * W[(2, oz)]) * tap
 
     # Jacobian columns of phiinv: clamped central differences.  x uses the
     # edge-padded slab halo (uniform formula); y/z use clamp rolls, which at
@@ -234,25 +239,29 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     z_idx = lane % Z
 
+    _em = {}
+
     def ztap(A, oz):
         if oz == 0:
             return A
         rolled = pltpu.roll(A, (-oz) % BL, 2)
-        edge = z_idx == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        if oz not in _em:
+            _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(_em[oz], A, rolled)
 
+    W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     mw = jnp.zeros(shape, dtype=d.dtype)
     for ox in (-1, 0, 1):
         rx = pltpu.roll(msl, (-ox) % (BX + 16), 1) if ox != 0 else msl
         bx_rows = rx[:, 8 : 8 + BX, :]  # (3, BX, WL)
-        wx = _weights(d, 0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             ry = pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
             ctr = ry[:, :, Z : Z + BL]
-            wxy = wx * _weights(d, 1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = ztap(ctr, oz)
-                mw = mw + (wxy * _weights(d, 2, oz)) * tap
+                mw = mw + (wxy * W[(2, oz)]) * tap
 
     # Jacobian columns: x from the edge-padded slab halo, y from the
     # edge-padded window halo, z via clamp rolls
@@ -445,26 +454,31 @@ def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
     y_idx = lane // Z
     z_idx = lane - y_idx * Z
 
+    _em = {}
+
     def roll_clamp(A, o, step, idx, n_axis):
         if o == 0:
             return A
         rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        edge = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        k = (step, o > 0)
+        if k not in _em:
+            _em[k] = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(_em[k], A, rolled)
 
     cp.wait()
     psl = p_slab[...]
+    W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
         rx = pltpu.roll(psl, (-ox) % (BX + 16), 1) if ox != 0 else psl
         base = rx[:, 8 : 8 + BX, :]
-        wx = _weights(d, 0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             xy = roll_clamp(base, oy, Z, y_idx, Y)
-            wxy = wx * _weights(d, 1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp(xy, oz, 1, z_idx, Z)
-                acc = acc + (wxy * _weights(d, 2, oz)) * tap
+                acc = acc + (wxy * W[(2, oz)]) * tap
     out_ref[0] = acc
 
 
@@ -489,27 +503,31 @@ def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     z_idx = lane % Z
 
+    _em = {}
+
     def ztap(A, oz):
         if oz == 0:
             return A
         rolled = pltpu.roll(A, (-oz) % BL, 2)
-        edge = z_idx == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        if oz not in _em:
+            _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(_em[oz], A, rolled)
 
     cp.wait()
     psl = p_slab[...]
+    W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
         rx = pltpu.roll(psl, (-ox) % (BX + 16), 1) if ox != 0 else psl
         bx_rows = rx[:, 8 : 8 + BX, :]
-        wx = _weights(d, 0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             ry = pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
             ctr = ry[:, :, Z : Z + BL]
-            wxy = wx * _weights(d, 1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = ztap(ctr, oz)
-                acc = acc + (wxy * _weights(d, 2, oz)) * tap
+                acc = acc + (wxy * W[(2, oz)]) * tap
     out_ref[0] = acc
 
 
@@ -680,15 +698,19 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
 
+    _emw = {}
+
     def roll_clamp_w(A, o, step, idx, n_axis):
         if o == 0:
             return A
         rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        edge = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        k = (step, o > 0)
+        if k not in _emw:
+            _emw[k] = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(_emw[k], A, rolled)
 
-    def wgt(axis, o):
-        return _weights(psl, axis, o)  # (BXW, YZ), at all window rows
+    # per-axis weights at all window rows, hoisted (9 computes, not 81)
+    Ww = {(a, o): _weights(psl, a, o) for a in range(3) for o in (-1, 0, 1)}
 
     # mw (warped m0) at all window rows (rows 0 / BXW-1 hold wrap garbage
     # but are never read into outputs, which shift by at most 1 from the
@@ -696,13 +718,13 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     mw = jnp.zeros(shape_w, dtype=psl.dtype)
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        wx = wgt(0, ox)
+        wx = Ww[(0, ox)]
         for oy in (-1, 0, 1):
             xy = roll_clamp_w(xt, oy, Z, y_w, Y)
-            wxy = wx * wgt(1, oy)
+            wxy = wx * Ww[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp_w(xy, oz, 1, z_w, Z)
-                mw = mw + (wxy * wgt(2, oz)) * tap
+                mw = mw + (wxy * Ww[(2, oz)]) * tap
 
     # Jacobian columns at all window rows (x from the slab halo)
     xp = pltpu.roll(psl, BXW - 1, 1)
@@ -725,31 +747,36 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         axis=0,
     )
 
+    # clamp-fold masks, hoisted out of the tap loops
+    x_lo, x_hi = gx_c == 0, gx_c == X - 1
+    y_lo, y_hi = y_c == 0, y_c == Y - 1
+    z_lo, z_hi = z_c == 0, z_c == Z - 1
+
     # d_m0: transpose of the weighted warp (shift-transposes + clamp folds;
     # same algebra as warp_unit._bwd_dI_kernel, all 3 channels at once)
     acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
     for ox in (-1, 0, 1):
-        wx = wgt(0, ox)
+        wx = Ww[(0, ox)]
         for oy in (-1, 0, 1):
-            wxy = wx * wgt(1, oy)
+            wxy = wx * Ww[(1, oy)]
             for oz in (-1, 0, 1):
-                P = (wxy * wgt(2, oz)) * d_mw
+                P = (wxy * Ww[(2, oz)]) * d_mw
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 A = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
-                    edge = (gx_c == 0) if ox == -1 else (gx_c == X - 1)
+                    edge = x_lo if ox == -1 else x_hi
                     A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
                 if oy != 0:
-                    wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
+                    wrap = y_lo if oy == 1 else y_hi
                     Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
                     A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
+                    edge = y_lo if oy == -1 else y_hi
                     A = A2 + jnp.where(edge, A, 0.0)
                 if oz != 0:
-                    wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+                    wrap = z_lo if oz == 1 else z_hi
                     Ar = pltpu.roll(A, oz % YZ, 2)
                     A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+                    edge = z_lo if oz == -1 else z_hi
                     A = A2 + jnp.where(edge, A, 0.0)
                 acc_dm = acc_dm + A
     dm_ref[0] = acc_dm
@@ -758,18 +785,21 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     dctr = psl[:, 8 : 8 + BX, :]
     d_mw_c = d_mw[:, 8 : 8 + BX, :]
 
-    def wc(axis, o):
-        return _weights(dctr, axis, o)
+    # center weights/dweights hoisted (9+9 computes, not 135), and the
+    # per-tap triple products factored at the oy level (5 muls/tap, not 9)
+    Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
 
-    def dwc(axis, o):
-        return _dweights(dctr, axis, o)
+    _emc = {}
 
     def roll_clamp_c(A, o, step, idx, n_axis):
         if o == 0:
             return A
         rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        edge = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        k = (step, o > 0)
+        if k not in _emc:
+            _emc[k] = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(_emc[k], A, rolled)
 
     acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
@@ -782,6 +812,9 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         )
         for oy in (-1, 0, 1):
             xy = roll_clamp_c(base, oy, Z, y_c, Y)
+            a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+            b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+            c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp_c(xy, oz, 1, z_c, Z)
                 gt = (
@@ -789,28 +822,24 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                     + d_mw_c[1] * tap[1]
                     + d_mw_c[2] * tap[2]
                 )
-                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
-                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
-                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+                t2 = Wc[(2, oz)] * gt
+                acc0 = acc0 + a_xy * t2
+                acc1 = acc1 + b_xy * t2
+                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
 
     # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel
     div = jnp.zeros(shape_c, dtype=psl.dtype)
-    for a, (step, idx_c, n_axis) in enumerate(
-        ((None, None, None), (Z, y_c, Y), (1, z_c, Z))
+    for a, (step, first, last) in enumerate(
+        ((None, x_lo, x_hi), (Z, y_lo, y_hi), (1, z_lo, z_hi))
     ):
         q = gsl * mw[a][None]
         qc = q[:, 8 : 8 + BX, :]
         if a == 0:
             qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, :]
             qp = pltpu.roll(q, BXW - 1, 1)[:, 8 : 8 + BX, :]
-            first = gx_c == 0
-            last = gx_c == X - 1
         else:
             qm = pltpu.roll(qc, step % YZ, 2)
             qp = pltpu.roll(qc, (-step) % YZ, 2)
-            first = idx_c == 0
-            last = idx_c == n_axis - 1
         div = div + 0.5 * (
             jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
         )
@@ -863,12 +892,15 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
 
+    _ems = {}
+
     def ztap_s(A, oz):
         if oz == 0:
             return A
         rolled = pltpu.roll(A, (-oz) % SL, 2)
-        edge = z_s == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        if oz not in _ems:
+            _ems[oz] = z_s == (Z - 1 if oz == 1 else 0)
+        return jnp.where(_ems[oz], A, rolled)
 
     def wgt_s(axis, o):
         return _weights(psub, axis, o)  # (BXW, SL)
@@ -912,6 +944,14 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     #    past the domain are zero because the cotangent is zero-padded, so
     #    only the clamp FOLD needs a mask — x via slab rolls, y via aligned
     #    static subwindow slices, z via lane rolls with wrap masking).
+    # hoisted per-axis weights (window + center slices + dweights: 9+9+9
+    # computes instead of per-tap recomputation) and clamp-fold masks
+    Ws = {(a, o): wgt_s(a, o) for a in range(3) for o in (-1, 0, 1)}
+    Wc = {k: cslice2(w) for k, w in Ws.items()}
+    dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
+    xs_lo, xs_hi = gx_cs == 0, gx_cs == X - 1
+    gy_lo, gy_hi = gy_c == 0, gy_c == Y - 1
+
     mw = jnp.zeros(shape_s, dtype=psl.dtype)
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
@@ -924,14 +964,15 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        wx = wgt_s(0, ox)
+        wx = Ws[(0, ox)]
         for oy in (-1, 0, 1):
             ytap = xt[:, :, (1 + oy) * Z : (1 + oy) * Z + SL]
-            wy = wgt_s(1, oy)
-            wxy = wx * wy
+            wxy = wx * Ws[(1, oy)]
+            a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+            b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+            c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             for oz in (-1, 0, 1):
-                wz = wgt_s(2, oz)
-                w3 = wxy * wz
+                w3 = wxy * Ws[(2, oz)]
                 tap = ztap_s(ytap, oz)
                 mw = mw + w3 * tap
                 # weight-gradient path at center
@@ -941,22 +982,26 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                     + d_mw_c[1] * tc[1]
                     + d_mw_c[2] * tc[2]
                 )
-                wxc, wyc, wzc = cslice2(wx), cslice2(wy), cslice2(wz)
-                acc0 = acc0 + dwc(0, ox) * wyc * wzc * gt
-                acc1 = acc1 + wxc * dwc(1, oy) * wzc * gt
-                acc2 = acc2 + wxc * wyc * dwc(2, oz) * gt
+                t2 = Wc[(2, oz)] * gt
+                acc0 = acc0 + a_xy * t2
+                acc1 = acc1 + b_xy * t2
+                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
                 # d_m0: x-transpose (roll + clamp fold), then y-transpose
                 # (aligned static slice + fold) immediately
                 P = w3 * d_mw  # (3, BXW, SL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
-                    xedge = (gx_cs == 0) if ox == -1 else (gx_cs == X - 1)
-                    Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
+                    Ax = Ax + jnp.where(
+                        xs_lo if ox == -1 else xs_hi,
+                        P[:, 8 : 8 + BX, :], 0.0,
+                    )
                 A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
                 if oy != 0:
-                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                    A = A + jnp.where(
+                        gy_lo if oy == -1 else gy_hi,
+                        Ax[:, :, Z : Z + BL], 0.0,
+                    )
                 accz[oz] = accz[oz] + A
 
     acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
@@ -1165,30 +1210,37 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
 
+    _em = {}
+
     def roll_clamp(A, o, step, idx, n_axis):
         if o == 0:
             return A
         rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        edge = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        k = (step, o > 0)
+        if k not in _em:
+            _em[k] = idx == (n_axis - 1 if o == 1 else 0)
+        return jnp.where(_em[k], A, rolled)
 
-    def wgt(axis, o):
-        return _weights(dsl, axis, o)
+    # per-axis weights + clamp-fold masks, hoisted out of the tap loops
+    W = {(a, o): _weights(dsl, a, o) for a in range(3) for o in (-1, 0, 1)}
+    x_lo, x_hi = gx_c == 0, gx_c == X - 1
+    y_lo, y_hi = y_c == 0, y_c == Y - 1
+    z_lo, z_hi = z_c == 0, z_c == Z - 1
 
     # d_phiinv: warp transpose of W * g (same algebra as the Ad* backward's
     # d_m0 block), with the per-axis transposes factored over the offset
     # sum: x at 27, y at 9, z at 3
     accs_xy = {}
     for ox in (-1, 0, 1):
-        wx = wgt(0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
-            wxy = wx * wgt(1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
-                P = (wxy * wgt(2, oz)) * gsl
+                P = (wxy * W[(2, oz)]) * gsl
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 A = Pr[:, 8 : 8 + BX, :]
                 if ox != 0:
-                    edge = (gx_c == 0) if ox == -1 else (gx_c == X - 1)
+                    edge = x_lo if ox == -1 else x_hi
                     A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
                 key = (oy, oz)
                 accs_xy[key] = A if key not in accs_xy else accs_xy[key] + A
@@ -1199,30 +1251,28 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         for oy in (-1, 0, 1):
             A = accs_xy[(oy, oz)]
             if oy != 0:
-                wrap = (y_c == 0) if oy == 1 else (y_c == Y - 1)
+                wrap = y_lo if oy == 1 else y_hi
                 Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
                 A2 = jnp.where(wrap, 0.0, Ar)
-                edge = (y_c == 0) if oy == -1 else (y_c == Y - 1)
+                edge = y_lo if oy == -1 else y_hi
                 A = A2 + jnp.where(edge, A, 0.0)
             acc_z = acc_z + A
         if oz != 0:
-            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
+            wrap = z_lo if oz == 1 else z_hi
             Ar = pltpu.roll(acc_z, oz % YZ, 2)
             A2 = jnp.where(wrap, 0.0, Ar)
-            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
+            zedge = z_lo if oz == -1 else z_hi
             acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
         acc_dp = acc_dp + acc_z
     dp_ref[0] = acc_dp
 
-    # d_v: s*g + s * weight-gradient path at center rows
+    # d_v: s*g + s * weight-gradient path at center rows (weights/dweights
+    # hoisted; triple products factored at the oy level)
     dctr = dsl[:, 8 : 8 + BX, :]
     g_c = gsl[:, 8 : 8 + BX, :]
 
-    def wc(axis, o):
-        return _weights(dctr, axis, o)
-
-    def dwc(axis, o):
-        return _dweights(dctr, axis, o)
+    Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
 
     acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
@@ -1235,13 +1285,16 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         )
         for oy in (-1, 0, 1):
             xy = roll_clamp(base, oy, Z, y_c, Y)
+            a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+            b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+            c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp(xy, oz, 1, z_c, Z)
                 gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
-                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
-                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
-                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+                t2 = Wc[(2, oz)] * gt
+                acc0 = acc0 + a_xy * t2
+                acc1 = acc1 + b_xy * t2
+                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
 
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
@@ -1284,27 +1337,33 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     row_w = jax.lax.broadcasted_iota(jnp.int32, (3, BX, WL), 1)
     gx_w = row_w + xb * BX
 
-    def wgt(axis, o):
-        return _weights(dsl, axis, o)  # (BXW, WL)
+    # per-axis weights + clamp-fold masks, hoisted out of the tap loops
+    W = {(a, o): _weights(dsl, a, o) for a in range(3) for o in (-1, 0, 1)}
+    xw_lo, xw_hi = gx_w == 0, gx_w == X - 1
+    gy_lo, gy_hi = gy_c == 0, gy_c == Y - 1
 
     # x and y transposes applied per tap (only 3 per-oz accumulators live;
     # z transpose still factors over the offset sum — see the Ad* backward)
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
-        wx = wgt(0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
-            wxy = wx * wgt(1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
-                P = (wxy * wgt(2, oz)) * gsl  # (3, BXW, WL)
+                P = (wxy * W[(2, oz)]) * gsl  # (3, BXW, WL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]  # (3, BX, WL)
                 if ox != 0:
-                    xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
-                    Ax = Ax + jnp.where(xedge, P[:, 8 : 8 + BX, :], 0.0)
+                    Ax = Ax + jnp.where(
+                        xw_lo if ox == -1 else xw_hi,
+                        P[:, 8 : 8 + BX, :], 0.0,
+                    )
                 A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
                 if oy != 0:
-                    yedge = (gy_c == 0) if oy == -1 else (gy_c == Y - 1)
-                    A = A + jnp.where(yedge, Ax[:, :, Z : Z + BL], 0.0)
+                    A = A + jnp.where(
+                        gy_lo if oy == -1 else gy_hi,
+                        Ax[:, :, Z : Z + BL], 0.0,
+                    )
                 accz[oz] = accz[oz] + A
 
     acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
@@ -1319,22 +1378,19 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         acc_dp = acc_dp + acc_z
     dp_ref[0] = acc_dp
 
-    # d_v at center
+    # d_v at center (weights/dweights hoisted; products factored at oy)
     dctr = dsl[:, 8 : 8 + BX, Z : Z + BL]
     g_c = gsl[:, 8 : 8 + BX, Z : Z + BL]
 
-    def wc(axis, o):
-        return _weights(dctr, axis, o)
-
-    def dwc(axis, o):
-        return _dweights(dctr, axis, o)
+    Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    zc_lo, zc_hi = z_c == 0, z_c == Z - 1
 
     def ztap_c(A, oz):
         if oz == 0:
             return A
         rolled = pltpu.roll(A, (-oz) % BL, 2)
-        edge = z_c == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        return jnp.where(zc_hi if oz == 1 else zc_lo, A, rolled)
 
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
@@ -1343,13 +1399,16 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         xt = pltpu.roll(psl, (-ox) % BXW, 1) if ox != 0 else psl
         for oy in (-1, 0, 1):
             ytap = xt[:, 8 : 8 + BX, (1 + oy) * Z : (1 + oy) * Z + BL]
+            a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+            b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+            c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = ztap_c(ytap, oz)
                 gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
-                wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                acc0 = acc0 + dwc(0, ox) * wy * wz * gt
-                acc1 = acc1 + wx * dwc(1, oy) * wz * gt
-                acc2 = acc2 + wx * wy * dwc(2, oz) * gt
+                t2 = Wc[(2, oz)] * gt
+                acc0 = acc0 + a_xy * t2
+                acc1 = acc1 + b_xy * t2
+                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
 
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 

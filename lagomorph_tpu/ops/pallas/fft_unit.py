@@ -1,0 +1,486 @@
+"""Fused Pallas fluid solvers: MXU per-axis DFT (production) and a
+radix-2 FFT reference pipeline.
+
+XLA's TPU FFT measures ~3.2x off HBM traffic-ideal for the fluid solve
+(BASELINE.md roofline).  Both paths here compute the whole solve
+
+    v = ifftn(M . fftn(x1 + i*x2))        (packed-pair, multiplier even)
+
+in three Pallas kernels = three HBM round trips of the packed complex
+field (~6 field volumes) instead of XLA's per-stage materializations.
+Measured at 128^3 b4 (scripts/fft_probe5.py, scan-amortized): sharp fwd
+5.01 (XLA fftn) vs 2.99 ms (MXU-DFT, 3pass) vs 4.27 (MXU HIGHEST) vs
+9.70 (radix rolls); fwd+bwd 10.01 vs 6.15 vs 7.53 vs 18.80.  The MXU
+3-pass path wins and is the TPU default; the radix pipeline stays as a
+validated VPU-only reference.  Accuracy: fluid solve 4.09e-5 rel vs a
+float64 oracle (f32-accumulation-limited — HIGHEST measures the same);
+end-to-end 5-step shooting differs from packed-fftn by 2.9e-5 voxels
+(scripts/fft_deform_err.py).
+
+Radix-2 structure (fluid_flat_pallas):
+
+  kernel A  (grid: field x X-blocks)   : radix-2 DIF stages along z then y
+                                         (both live on the flattened (Y,Z)
+                                         lane axis; partner taps are lane
+                                         rolls by s and s*Z)
+  kernel B  (grid: field x lane-blocks): DIF stages along x (sublane rolls),
+                                         multiply by the bit-reversed
+                                         multiplier, DIT stages back (1/X)
+  kernel C  (grid: field x X-blocks)   : DIT stages along y then z (1/(YZ))
+
+DIF produces bit-reversed frequency order and DIT consumes it, so no
+reordering pass exists anywhere; the multiplier M is built with
+bit-reversed per-axis LUTs (ops/fluid.py::_fluid_multiplier_traced with
+``bitrev=True``).  All radix math is f32 on the VPU — no MXU precision
+caveats, but 42 roll-based butterfly stages are VPU-expensive, which is
+why the MXU-DFT kernels below beat it ~2.7x.
+
+Butterfly algebra (s = half-block, L = 2s, j = index along the axis,
+top <=> (j & s) == 0, e = j & (s-1), W = exp(sign*i*pi*e/s)):
+
+    DIF: out = where(top, a[j] + a[j+s], W * (a[j-s] - a[j]))
+    DIT: w   = W * where(top, a[j+s], a[j])
+         out = where(top, a[j] + w,    a[j-s] - w)
+
+Validated bit-for-bit shapes/semantics against ops/fft_radix.py (pure JAX)
+in interpret mode and against a float64 numpy oracle on hardware
+(scripts/tpu_checks.py).  Reference counterpart: the cuFFT pipeline of
+lagomorph/metric.py:11-19 / metric.cu:162-355.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:  # pragma: no cover - exercised only on TPU installs
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .warp_unit import pallas_warp_enabled
+from ..fft_radix import is_pow2
+
+
+def _supported_backend() -> bool:
+    if not (_PALLAS_OK and pallas_warp_enabled()):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fft_kernel_supported(spatial, dtype) -> bool:
+    """Gate: 3D, power-of-two axes, f32, lane/sublane-aligned."""
+    if len(spatial) != 3:
+        return False
+    if dtype not in (jnp.float32, np.float32):
+        return False
+    X, Y, Z = spatial
+    if not (is_pow2(X) and is_pow2(Y) and is_pow2(Z)):
+        return False
+    if X % 8 or (Y * Z) % 128:
+        return False
+    # kernel B holds full-X slabs; keep them comfortably inside VMEM
+    if X > 512:
+        return False
+    return _supported_backend()
+
+
+# ---------------------------------------------------------------------------
+# stage helpers (shared by kernels; also run under interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def _roll(A, shift, axis, size):
+    return pltpu.roll(A, shift % size, axis)
+
+
+def _dif_stages(re, im, n, step, idx, axis, size, sign):
+    """All radix-2 DIF stages of one axis.  ``idx``: int32 iota of the
+    transform index at each position (broadcastable against the slabs);
+    ``step``: positions per unit index along ``axis`` of physical size
+    ``size``."""
+    s = n // 2
+    while s >= 1:
+        top = (idx & s) == 0
+        e = (idx & (s - 1)).astype(re.dtype)
+        ang = (sign * math.pi / s) * e
+        tr = jnp.cos(ang)
+        ti = jnp.sin(ang)
+        u_re = _roll(re, -s * step, axis, size)
+        u_im = _roll(im, -s * step, axis, size)
+        d_re = _roll(re, s * step, axis, size) - re
+        d_im = _roll(im, s * step, axis, size) - im
+        p_re = tr * d_re - ti * d_im
+        p_im = tr * d_im + ti * d_re
+        re = jnp.where(top, re + u_re, p_re)
+        im = jnp.where(top, im + u_im, p_im)
+        s //= 2
+    return re, im
+
+
+def _dit_stages(re, im, n, step, idx, axis, size, sign, scale):
+    """All radix-2 DIT stages of one axis (bit-reversed input -> natural),
+    folding ``scale`` (e.g. 1/n for an inverse) into the last stage."""
+    s = 1
+    while s <= n // 2:
+        last = s == n // 2
+        top = (idx & s) == 0
+        e = (idx & (s - 1)).astype(re.dtype)
+        ang = (sign * math.pi / s) * e
+        tr = jnp.cos(ang)
+        ti = jnp.sin(ang)
+        b_re = jnp.where(top, _roll(re, -s * step, axis, size), re)
+        b_im = jnp.where(top, _roll(im, -s * step, axis, size), im)
+        w_re = tr * b_re - ti * b_im
+        w_im = tr * b_im + ti * b_re
+        a_re = jnp.where(top, re, _roll(re, s * step, axis, size))
+        a_im = jnp.where(top, im, _roll(im, s * step, axis, size))
+        sgn = jnp.where(top, re.dtype.type(1.0), re.dtype.type(-1.0))
+        re = a_re + sgn * w_re
+        im = a_im + sgn * w_im
+        if last and scale != 1.0:
+            re = re * re.dtype.type(scale)
+            im = im * im.dtype.type(scale)
+        s *= 2
+    return re, im
+
+
+# ---------------------------------------------------------------------------
+# kernel A: DIF along z then y (lane axis), one (field, x-block) per step
+# ---------------------------------------------------------------------------
+
+
+def _zy_fwd_kernel(Y, Z, re_ref, im_ref, ore_ref, oim_ref):
+    re = re_ref[0]  # (BX, Y*Z)
+    im = im_ref[0]
+    YZ = Y * Z
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, YZ), 1)
+    jz = lane & (Z - 1)
+    jy = lane >> (Z.bit_length() - 1)
+    re, im = _dif_stages(re, im, Z, 1, jz, 1, YZ, -1.0)
+    re, im = _dif_stages(re, im, Y, Z, jy, 1, YZ, -1.0)
+    ore_ref[0] = re
+    oim_ref[0] = im
+
+
+def _zy_inv_kernel(Y, Z, re_ref, im_ref, ore_ref, oim_ref):
+    re = re_ref[0]
+    im = im_ref[0]
+    YZ = Y * Z
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, YZ), 1)
+    jz = lane & (Z - 1)
+    jy = lane >> (Z.bit_length() - 1)
+    re, im = _dit_stages(re, im, Y, Z, jy, 1, YZ, 1.0, 1.0 / Y)
+    re, im = _dit_stages(re, im, Z, 1, jz, 1, YZ, 1.0, 1.0 / Z)
+    ore_ref[0] = re
+    oim_ref[0] = im
+
+
+# ---------------------------------------------------------------------------
+# kernel B: DIF along x (sublane axis), multiplier, DIT back
+# ---------------------------------------------------------------------------
+
+
+def _x_mul_kernel(X, re_ref, im_ref, m_ref, ore_ref, oim_ref):
+    re = re_ref[0]  # (X, BL)
+    im = im_ref[0]
+    M = m_ref[...]  # (X, BL) bit-reversed multiplier slab
+    jx = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    re, im = _dif_stages(re, im, X, 1, jx, 0, X, -1.0)
+    re = re * M
+    im = im * M
+    re, im = _dit_stages(re, im, X, 1, jx, 0, X, 1.0, 1.0 / X)
+    ore_ref[0] = re
+    oim_ref[0] = im
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+def _pick_bx(X: int, YZ: int) -> int:
+    """x-block rows for kernels A/C: ~2 MB in-slabs, %8, divides X."""
+    for bx in (32, 16, 8):
+        if X % bx == 0 and 4 * bx * YZ * 4 <= 4 * 1024 * 1024:
+            return bx
+    return 8
+
+
+def _pick_bl(X: int, YZ: int) -> int:
+    """lane-block for kernel B: full-X columns, ~0.5-1 MB per plane."""
+    for bl in (2048, 1024, 512, 256, 128):
+        if YZ % bl == 0 and X * bl * 4 <= 1 * 1024 * 1024:
+            return bl
+    return 128
+
+
+def _zy_call(kernel, Y, Z, re, im):
+    F, X, YZ = re.shape
+    BX = _pick_bx(X, YZ)
+    spec = pl.BlockSpec((1, BX, YZ), lambda f, xb: (f, xb, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(kernel, Y, Z),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+        ),
+        grid=(F, X // BX),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        # the 14 butterfly stages keep ~8 live planes; Mosaic's stack
+        # accounting wants more than the 16M default at YZ=16384
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(re, im)
+
+
+def _x_mul_call(re, im, Mbr):
+    F, X, YZ = re.shape
+    BL = _pick_bl(X, YZ)
+    spec = pl.BlockSpec((1, X, BL), lambda f, lb: (f, 0, lb),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((X, BL), lambda f, lb: (0, lb),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_x_mul_kernel, X),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+        ),
+        grid=(F, YZ // BL),
+        in_specs=[spec, spec, mspec],
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(re, im, Mbr)
+
+
+def fluid_flat_pallas(x1, x2, Mbr):
+    """Packed-pair scalar-multiplier fluid apply via the radix-2 kernels:
+    returns ``(apply(x1), apply(x2))`` for real fields ``x1``/``x2`` of
+    shape ``(F, X, Y, Z)`` and a bit-reversed multiplier ``Mbr`` of shape
+    ``(X, Y, Z)`` (beta == 0 => one scalar field for every component).
+
+    MEASURED SLOWER than both XLA fftn and the MXU-DFT kernels below
+    (8.8 ms vs 4.7 / see fft_probe5 at 128^3 b4): 42 roll-based butterfly
+    stages are VPU-expensive even in VMEM.  Kept as a validated reference
+    pipeline; production uses :func:`fluid_flat_mxu`."""
+    F, X, Y, Z = x1.shape
+    re = x1.reshape(F, X, Y * Z)
+    im = x2.reshape(F, X, Y * Z)
+    M = Mbr.reshape(X, Y * Z)
+    re, im = _zy_call(_zy_fwd_kernel, Y, Z, re, im)
+    re, im = _x_mul_call(re, im, M)
+    re, im = _zy_call(_zy_inv_kernel, Y, Z, re, im)
+    return re.reshape(F, X, Y, Z), im.reshape(F, X, Y, Z)
+
+
+# ===========================================================================
+# MXU per-axis DFT kernels.
+#
+# A 1D DFT along an axis of length N is a complex N x N matmul.  Inside
+# Pallas the three axes land on the MXU with NO relayouts (the reason the
+# XLA-level matmul-DFT lost at 9.1 ms — moveaxis/tensordot materialize
+# transposed copies between passes):
+#
+#   kernel A (grid: field x X-slices; block (Y, Z)):
+#       z-DFT = A @ Wz   (contract lanes),  y-DFT = Wy @ A  (contract rows)
+#   kernel B (grid: field x lane-blocks; block (X, BL)):
+#       x-DFT = Wx @ A, multiply by M (natural order!), inverse x-DFT
+#   kernel C: inverse y- and z-DFTs on (Y, Z) blocks (1/N folded into the
+#       inverse matrices).
+#
+# DFT matrices are built traced (ops/fluid.py::_dft_pair) and passed as
+# inputs; complex arithmetic stays as two real planes (4 real matmuls per
+# axis).  Matmul precision is HIGHEST by default: bf16-pass error is
+# amplified by the 1/gamma^2 low-frequency gain (measured 6e-3 end-to-end
+# at DEFAULT — unusable; see scripts/fft_probe4.py).
+# ===========================================================================
+
+_MXU_PRECISION = "3pass"
+
+
+def set_fft_mxu_precision(p):
+    """Matmul precision for the MXU-DFT kernels — trace-time flag.
+
+    "3pass" (default): manual hi/lo bf16 operand split with the lo x lo
+    term dropped — half the MXU passes of HIGHEST at the same measured
+    accuracy (fluid solve 4.09e-5 rel vs the f64 oracle for BOTH, i.e.
+    f32-accumulation-limited; end-to-end 5-step shooting differs from the
+    packed-fftn path by 2.9e-5 voxels at 128^3, scripts/fft_deform_err.py;
+    sharp fwd 2.99 vs 4.27 ms, fft_probe5).  "highest": XLA 6-pass bf16
+    emulation of f32.  "default": single bf16 pass (measured 6.5e-3
+    end-to-end under the 1/gamma^2 low-frequency gain — probe only,
+    unusable)."""
+    global _MXU_PRECISION
+    assert p in ("highest", "3pass", "default")
+    prev = _MXU_PRECISION
+    _MXU_PRECISION = p
+    return prev
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(u, v):
+    """f32 matmul as three bf16 passes (hi@hi + hi@lo + lo@hi)."""
+    uh, ul = _split_bf16(u)
+    vh, vl = _split_bf16(v)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(uh, vh) + d(uh, vl) + d(ul, vh)
+
+
+def _cdot(ar, ai, br, bi, left=False):
+    """Complex matmul of plane pairs: (ar + i*ai) @ (br + i*bi), or the
+    left-multiplication (br + i*bi) @ (ar + i*ai) when ``left``."""
+    if _MXU_PRECISION == "3pass":
+        dot = _dot3
+    else:
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+        }[_MXU_PRECISION]
+
+        def dot(u, v):
+            return jnp.dot(u, v, precision=prec,
+                           preferred_element_type=jnp.float32)
+
+    if left:
+        return (
+            dot(br, ar) - dot(bi, ai),
+            dot(br, ai) + dot(bi, ar),
+        )
+    return (
+        dot(ar, br) - dot(ai, bi),
+        dot(ar, bi) + dot(ai, br),
+    )
+
+
+def _zy_dft_kernel(inverse, re_ref, im_ref, zr_ref, zi_ref, yr_ref, yi_ref,
+                   ore_ref, oim_ref):
+    re = re_ref[0, 0]  # (Y, Z)
+    im = im_ref[0, 0]
+    zr, zi = zr_ref[...], zi_ref[...]  # (Z, Z)
+    yr, yi = yr_ref[...], yi_ref[...]  # (Y, Y)
+    if inverse:
+        re, im = _cdot(re, im, yr, yi, left=True)
+        re, im = _cdot(re, im, zr, zi)
+    else:
+        re, im = _cdot(re, im, zr, zi)
+        re, im = _cdot(re, im, yr, yi, left=True)
+    ore_ref[0, 0] = re
+    oim_ref[0, 0] = im
+
+
+def _x_mul_dft_kernel(re_ref, im_ref, m_ref, fr_ref, fi_ref, br_ref, bi_ref,
+                      ore_ref, oim_ref):
+    re = re_ref[0]  # (X, BL)
+    im = im_ref[0]
+    M = m_ref[...]
+    re, im = _cdot(re, im, fr_ref[...], fi_ref[...], left=True)
+    re = re * M
+    im = im * M
+    re, im = _cdot(re, im, br_ref[...], bi_ref[...], left=True)
+    ore_ref[0] = re
+    oim_ref[0] = im
+
+
+def _zy_dft_call(inverse, re, im, zmats, ymats):
+    F, X, Y, Z = re.shape
+    spec = pl.BlockSpec((1, 1, Y, Z), lambda f, x: (f, x, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def mat_spec(n):
+        return pl.BlockSpec((n, n), lambda f, x: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_zy_dft_kernel, inverse),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, X, Y, Z), re.dtype),
+            jax.ShapeDtypeStruct((F, X, Y, Z), re.dtype),
+        ),
+        grid=(F, X),
+        in_specs=[spec, spec, mat_spec(Z), mat_spec(Z),
+                  mat_spec(Y), mat_spec(Y)],
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(re, im, zmats[0], zmats[1], ymats[0], ymats[1])
+
+
+def _x_mul_dft_call(re, im, Mn, fmats, bmats):
+    F, X, YZ = re.shape
+    BL = _pick_bl(X, YZ)
+    spec = pl.BlockSpec((1, X, BL), lambda f, lb: (f, 0, lb),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((X, BL), lambda f, lb: (0, lb),
+                         memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((X, X), lambda f, lb: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _x_mul_dft_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+            jax.ShapeDtypeStruct((F, X, YZ), re.dtype),
+        ),
+        grid=(F, YZ // BL),
+        in_specs=[spec, spec, mspec, xspec, xspec, xspec, xspec],
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(re, im, Mn, fmats[0], fmats[1], bmats[0], bmats[1])
+
+
+def mxu_kernel_supported(spatial, dtype) -> bool:
+    """Gate for the MXU-DFT fluid kernels: 3D f32 with MXU/DMA-aligned
+    axes (lane axes %128, sublane %8).  No power-of-two requirement."""
+    if len(spatial) != 3:
+        return False
+    if dtype not in (jnp.float32, np.float32):
+        return False
+    X, Y, Z = spatial
+    if Z % 128 or Y % 8 or X % 8 or (Y * Z) % 128:
+        return False
+    if X > 1024 or Y > 1024 or Z > 1024:
+        return False
+    return _supported_backend()
+
+
+def fluid_flat_mxu(x1, x2, Mn, fwd_mats, inv_mats):
+    """Packed-pair scalar-multiplier fluid apply via MXU-DFT kernels.
+
+    ``x1``/``x2``: (F, X, Y, Z) real fields; ``Mn``: (X, Y, Z) multiplier
+    in NATURAL frequency order; ``fwd_mats``/``inv_mats``: per-axis
+    (cos, sin) DFT matrix pairs for x, y, z (inverse includes 1/N)."""
+    F, X, Y, Z = x1.shape
+    (fx, fy, fz), (bx, by, bz) = fwd_mats, inv_mats
+    re, im = _zy_dft_call(False, x1, x2, fz, fy)
+    re = re.reshape(F, X, Y * Z)
+    im = im.reshape(F, X, Y * Z)
+    re, im = _x_mul_dft_call(re, im, Mn.reshape(X, Y * Z), fx, bx)
+    re = re.reshape(F, X, Y, Z)
+    im = im.reshape(F, X, Y, Z)
+    re, im = _zy_dft_call(True, re, im, bz, by)
+    return re, im

@@ -140,18 +140,19 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
 
     acc = jnp.zeros(shape, dtype=d.dtype)
     slab = scratch[...]
+    W = {(a, o): w(a, o) for a in range(3) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         # x-tap: sublane roll of the slab then an 8-aligned static slice
         # (the wrapped rows land outside the sliced window)
         rolled = pltpu.roll(slab, (-ox) % (BX + 16), 1) if ox != 0 else slab
         base = rolled[:, 8 : 8 + BX, :]
-        wx = w(0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             xy = roll_clamp(base, oy, Z, y_idx, Y)
-            wxy = wx * w(1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = roll_clamp(xy, oz, 1, z_idx, Z)
-                acc = acc + (wxy * w(2, oz))[None] * tap
+                acc = acc + (wxy * W[(2, oz)])[None] * tap
     out_ref[0] = acc
 
 
@@ -348,17 +349,24 @@ def _bwd_dI_kernel(BX, Y, Z, C, X,
     row_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 0)
     gx_b = row_b + xb * BX
 
+    # hoisted weights (9 computes, not 81) and clamp-fold masks
+    Ws = {(a, o): w_s(a, o) for a in range(3) for o in (-1, 0, 1)}
+    gs = g_slab[...]
+    x_lo, x_hi = gx_b == 0, gx_b == X - 1
+
     # per-axis transposes factored over the offset sum (x at 27, y at 9,
     # z at 3): sum_o Tz Ty Tx P_o = sum_oz Tz[ sum_oy Ty[ sum_ox Tx P ]]
     accs_xy = {}
     for ox in (-1, 0, 1):
+        wx = Ws[(0, ox)]
         for oy in (-1, 0, 1):
+            wxy = wx * Ws[(1, oy)]
             for oz in (-1, 0, 1):
-                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_slab[...]
+                P = (wxy * Ws[(2, oz)]) * gs
                 Pr = pltpu.roll(P, ox % (BX + 16), 0) if ox != 0 else P
                 A = Pr[8 : 8 + BX, :]
                 if ox != 0:
-                    edge = (gx_b == 0) if ox == -1 else (gx_b == X - 1)
+                    edge = x_lo if ox == -1 else x_hi
                     A = A + jnp.where(edge, P[8 : 8 + BX, :], 0.0)
                 key = (oy, oz)
                 accs_xy[key] = A if key not in accs_xy else accs_xy[key] + A
@@ -437,6 +445,12 @@ def _bwd_dD_kernel(BX, Y, Z, C, X,
             return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
         return (fa == 0.0).astype(da.dtype)
 
+    # weights/dweights are channel-independent: hoist them out of the
+    # channel AND tap loops (9+9 computes instead of 5 per (channel, tap)),
+    # with the triple products factored at the oy level
+    Wc = {(a, o): wc(a, o) for a in range(3) for o in (-1, 0, 1)}
+    dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
+
     acc_d = [jnp.zeros(blk_shape, dtype=jnp.float32) for _ in range(3)]
     for c in range(C):
         cpi = pltpu.make_async_copy(
@@ -457,13 +471,16 @@ def _bwd_dD_kernel(BX, Y, Z, C, X,
             base = base[8 : 8 + BX, :]
             for oy in (-1, 0, 1):
                 xy = roll_clamp_b(base, oy, Z, y_idx_b, Y)
+                a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+                b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+                c_xy = Wc[(0, ox)] * Wc[(1, oy)]
                 for oz in (-1, 0, 1):
                     tap = roll_clamp_b(xy, oz, 1, z_idx_b, Z)
                     gt = g_ctr * tap
-                    wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                    acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
-                    acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
-                    acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
+                    t2 = Wc[(2, oz)] * gt
+                    acc_d[0] = acc_d[0] + a_xy * t2
+                    acc_d[1] = acc_d[1] + b_xy * t2
+                    acc_d[2] = acc_d[2] + c_xy * (dWc[(2, oz)] * gt)
 
     dD_ref[0] = jnp.stack(acc_d, axis=0)
 
@@ -584,28 +601,32 @@ def _fwd_kernel_yb(BX, BY, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     z_idx = lane % Z
 
+    _em = {}
+
     def ztap(A, oz):
         if oz == 0:
             return A
         rolled = pltpu.roll(A, (-oz) % BL, 2)
-        edge = z_idx == (Z - 1 if oz == 1 else 0)
-        return jnp.where(edge, A, rolled)
+        if oz not in _em:
+            _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
+        return jnp.where(_em[oz], A, rolled)
 
     slab = scratch[...]
     acc = jnp.zeros(shape, dtype=d.dtype)
+    W = {(a, o): w(a, o) for a in range(3) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         rx = pltpu.roll(slab, (-ox) % (BX + 16), 1) if ox != 0 else slab
         bx_rows = rx[:, 8 : 8 + BX, :]
-        wx = w(0, ox)
+        wx = W[(0, ox)]
         for oy in (-1, 0, 1):
             ry = (
                 pltpu.roll(bx_rows, (-oy * Z) % WL, 2) if oy != 0 else bx_rows
             )
             ctr = ry[:, :, Z : Z + BL]
-            wxy = wx * w(1, oy)
+            wxy = wx * W[(1, oy)]
             for oz in (-1, 0, 1):
                 tap = ztap(ctr, oz)
-                acc = acc + (wxy * w(2, oz))[None] * tap
+                acc = acc + (wxy * W[(2, oz)])[None] * tap
     out_ref[0] = acc
 
 
@@ -696,18 +717,27 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
     row_w = jax.lax.broadcasted_iota(jnp.int32, (BX, WL), 0)
     gx_w = row_w + xb * BX
 
+    # hoisted weights (9 computes, not 81) and clamp-fold masks
+    Ws = {(a, o): w_s(a, o) for a in range(3) for o in (-1, 0, 1)}
+    gs = g_slab[...]
+    xw_lo, xw_hi = gx_w == 0, gx_w == X - 1
+
     # factored per-axis transposes (x at 27, y at 9, z at 3)
     accs_xy = {}
     for ox in (-1, 0, 1):
+        wx = Ws[(0, ox)]
         for oy in (-1, 0, 1):
+            wxy = wx * Ws[(1, oy)]
             for oz in (-1, 0, 1):
-                P = (w_s(0, ox) * w_s(1, oy) * w_s(2, oz)) * g_slab[...]
+                P = (wxy * Ws[(2, oz)]) * gs
                 # x transpose on the window (core shift + clamp edge fold)
                 Pr = pltpu.roll(P, ox % (BX + 16), 0) if ox != 0 else P
                 Bw = Pr[8 : 8 + BX, :]  # (BX, WL)
                 if ox != 0:
-                    xedge = (gx_w == 0) if ox == -1 else (gx_w == X - 1)
-                    Bw = Bw + jnp.where(xedge, P[8 : 8 + BX, :], 0.0)
+                    Bw = Bw + jnp.where(
+                        xw_lo if ox == -1 else xw_hi,
+                        P[8 : 8 + BX, :], 0.0,
+                    )
                 key = (oy, oz)
                 accs_xy[key] = Bw if key not in accs_xy else accs_xy[key] + Bw
 
@@ -786,6 +816,11 @@ def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
             return (fa == -1.0).astype(da.dtype) - (fa == 0.0).astype(da.dtype)
         return (fa == 0.0).astype(da.dtype)
 
+    # channel-independent weights/dweights hoisted out of both loops, with
+    # the triple products factored at the oy level
+    Wc = {(a, o): wc(a, o) for a in range(3) for o in (-1, 0, 1)}
+    dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
+
     acc_d = [jnp.zeros(blk_shape, dtype=jnp.float32) for _ in range(3)]
     for c in range(C):
         cpi = pltpu.make_async_copy(
@@ -813,13 +848,16 @@ def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
                     else bx_rows
                 )
                 ctr = ry[:, Z : Z + BL]
+                a_xy = dWc[(0, ox)] * Wc[(1, oy)]
+                b_xy = Wc[(0, ox)] * dWc[(1, oy)]
+                c_xy = Wc[(0, ox)] * Wc[(1, oy)]
                 for oz in (-1, 0, 1):
                     tap = ztap(ctr, oz)
                     gt = g_ctr * tap
-                    wx, wy, wz = wc(0, ox), wc(1, oy), wc(2, oz)
-                    acc_d[0] = acc_d[0] + dwc(0, ox) * wy * wz * gt
-                    acc_d[1] = acc_d[1] + wx * dwc(1, oy) * wz * gt
-                    acc_d[2] = acc_d[2] + wx * wy * dwc(2, oz) * gt
+                    t2 = Wc[(2, oz)] * gt
+                    acc_d[0] = acc_d[0] + a_xy * t2
+                    acc_d[1] = acc_d[1] + b_xy * t2
+                    acc_d[2] = acc_d[2] + c_xy * (dWc[(2, oz)] * gt)
 
     dD_ref[0] = jnp.stack(acc_d, axis=0)
 

@@ -141,12 +141,13 @@ class Tool:
         group.add_argument(
             "--fluid_transform",
             default="auto",
-            choices=["auto", "packed", "fft", "dft"],
-            help="Fluid-solve transform: auto (packed complex pairs on TPU,"
-            " rfftn elsewhere), packed (force pairs), fft (force legacy"
-            " rfftn — numerically unsafe for >= 12 batched 128^3 transforms"
-            " on some TPU runtimes), dft (opt-in MXU matmul-DFT; faster but"
-            " ~3.8e-5 relative error vs 2e-6)",
+            choices=["auto", "mxu", "radix", "packed", "fft", "dft"],
+            help="Fluid-solve transform: auto (Pallas MXU-DFT kernels where"
+            " supported, else packed complex pairs on TPU, rfftn elsewhere),"
+            " mxu/radix (force a Pallas kernel), packed (XLA packed pairs),"
+            " fft (force legacy rfftn — numerically unsafe for >= 12 batched"
+            " 128^3 transforms on some TPU runtimes), dft (XLA-level matmul"
+            "-DFT probe path)",
         )
         group.add_argument(
             "--warp_mode",
@@ -167,12 +168,22 @@ class Tool:
             jax.config.update("jax_platforms", args.platform)
         ft = getattr(args, "fluid_transform", "auto")
         if ft != "auto":
-            from .ops.fluid import set_fluid_dft, set_fluid_packing
+            from .ops.fluid import (
+                set_fluid_dft,
+                set_fluid_fft_kernel,
+                set_fluid_packing,
+            )
 
-            if ft == "dft":
-                set_fluid_dft(True)
+            if ft in ("mxu", "radix"):
+                set_fluid_fft_kernel(ft)
             else:
-                set_fluid_packing(ft == "packed")
+                # every non-kernel choice must really bypass the Pallas
+                # kernels, not just re-route the XLA fallback
+                set_fluid_fft_kernel(False)
+                if ft == "dft":
+                    set_fluid_dft(True)
+                else:
+                    set_fluid_packing(ft == "packed")
         wm = getattr(args, "warp_mode", "auto")
         if wm != "auto":
             from .ops.interp import set_warp_mode
