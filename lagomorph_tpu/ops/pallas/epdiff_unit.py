@@ -104,6 +104,26 @@ def _weights(d, axis, o):
     return (fa == 0.0).astype(da.dtype) * ta
 
 
+def _adjust_axis(W, a, lo, hi):
+    """Fold the CLAMP of axis ``a`` into its per-axis weights: at the
+    low/high domain edge the o=-1 / o=+1 tap lands on the edge voxel
+    itself, so its weight moves into the o=0 tap and the shifted tap's
+    weight becomes zero.  With adjusted weights every tap and transpose is
+    a pure shift — wrapped-in garbage is multiplied by zero, and no clamp
+    select (forward taps) or fold (transposes) is needed.  The identical
+    grouping applies to the weight DERIVATIVES (the masks are constant).
+    Used in the BACKWARD kernels only: the grouping reassociates the f32
+    sum, and the forward keeps the original per-tap association for
+    bit-exactness vs the XLA path."""
+    return {
+        (a, -1): jnp.where(lo, 0.0, W[(a, -1)]),
+        (a, 0): W[(a, 0)]
+        + jnp.where(lo, W[(a, -1)], 0.0)
+        + jnp.where(hi, W[(a, 1)], 0.0),
+        (a, 1): jnp.where(hi, 0.0, W[(a, 1)]),
+    }
+
+
 # On the 8-row x-halo (investigated and closed in round 3): taps reach only
 # +-1 but every kernel pads x by (8, 8).  This is FORCED by Mosaic's
 # sublane alignment, not sloppiness: in-kernel row slices are free only at
@@ -815,6 +835,10 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
+            # (ox, oy) weight factors are constant across oz: accumulate the
+            # z-axis products per tap, multiply once per group
+            s_w = jnp.zeros((BX, YZ), dtype=psl.dtype)
+            s_dw = jnp.zeros((BX, YZ), dtype=psl.dtype)
             for oz in (-1, 0, 1):
                 tap = roll_clamp_c(xy, oz, 1, z_c, Z)
                 gt = (
@@ -822,10 +846,11 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                     + d_mw_c[1] * tap[1]
                     + d_mw_c[2] * tap[2]
                 )
-                t2 = Wc[(2, oz)] * gt
-                acc0 = acc0 + a_xy * t2
-                acc1 = acc1 + b_xy * t2
-                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
+                s_w = s_w + Wc[(2, oz)] * gt
+                s_dw = s_dw + dWc[(2, oz)] * gt
+            acc0 = acc0 + a_xy * s_w
+            acc1 = acc1 + b_xy * s_w
+            acc2 = acc2 + c_xy * s_dw
 
     # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel
     div = jnp.zeros(shape_c, dtype=psl.dtype)
@@ -932,35 +957,55 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     def cslice2(w):  # (BXW, SL) weight -> its center block (BX, BL)
         return w[8 : 8 + BX, Z : Z + BL]
 
-    row_cs = jax.lax.broadcasted_iota(jnp.int32, (3, BX, SL), 1)
-    gx_cs = row_cs + xb * BX
-
     # Merged 27-offset loop computing:
     #  * mw (warped m0 on the subwindow) — consumed by the divergence path;
     #  * d_p weight-gradient accumulators (center taps = slices of the
     #    subwindow taps; center weights = slices of the subwindow weights);
-    #  * d_m0 = transpose of the weighted warp: per-axis transposes applied
-    #    sequentially ((T_o^T Q)(v) = Q(v-o) + [clamped-edge] Q(v); reads
-    #    past the domain are zero because the cotangent is zero-padded, so
-    #    only the clamp FOLD needs a mask — x via slab rolls, y via aligned
-    #    static subwindow slices, z via lane rolls with wrap masking).
+    #    the (ox, oy) weight factors are constant across oz, so the z-axis
+    #    products accumulate into (s_w, s_dw) per tap and the (ox, oy)
+    #    factors multiply ONCE per group (5 fewer center passes per tap);
+    #  * d_m0 = transpose of the weighted warp.
+    # The CLAMP is folded into the per-axis weights once (_adjust_axis), so
+    # every tap is a pure roll/slice and every transpose a pure
+    # roll/slice — no per-tap selects or per-transpose folds.
     # hoisted per-axis weights (window + center slices + dweights: 9+9+9
-    # computes instead of per-tap recomputation) and clamp-fold masks
+    # computes instead of per-tap recomputation)
+    row_s = jax.lax.broadcasted_iota(jnp.int32, (BXW, SL), 0)
+    lane_s2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, SL), 1)
+    gx_s = xb * BX + row_s - 8
+    gy_s = yb * BY + lane_s2 // Z - 1
+    z_s2 = lane_s2 % Z
     Ws = {(a, o): wgt_s(a, o) for a in range(3) for o in (-1, 0, 1)}
+    Ws.update(_adjust_axis(Ws, 0, gx_s == 0, gx_s == X - 1))
+    Ws.update(_adjust_axis(Ws, 1, gy_s == 0, gy_s == Y - 1))
+    Ws.update(_adjust_axis(Ws, 2, z_s2 == 0, z_s2 == Z - 1))
     Wc = {k: cslice2(w) for k, w in Ws.items()}
     dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
-    xs_lo, xs_hi = gx_cs == 0, gx_cs == X - 1
-    gy_lo, gy_hi = gy_c == 0, gy_c == Y - 1
+    # center masks from FRESH center-shaped iotas: slicing a single-axis
+    # (broadcast-layout) mask crashes Mosaic's extract_strided_slice
+    row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 0)
+    lane_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 1)
+    gx_c2 = xb * BX + row_c2
+    gy_c2 = yb * BY + lane_c2 // Z
+    z_c2 = lane_c2 % Z
+    dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
+    dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
+    dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
 
     mw = jnp.zeros(shape_s, dtype=psl.dtype)
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
-    # d_m0 accumulators: the x AND y transposes are applied per tap so only
-    # THREE (3, BX, BL) accumulators stay live (one per oz; the z transpose
-    # still factors over the offset sum) — round 2 kept 9 (3, BX, SL)
-    # arrays live across the whole loop, which dominated the scoped-vmem
-    # budget and capped the block sizes
+    # d_m0 accumulators: three (3, BX, BL) per-oz accumulators stay live
+    # across the whole loop (the z transpose factors over the offset sum) —
+    # round 2 kept 9 (3, BX, SL) arrays live across the whole loop, which
+    # dominated the scoped-vmem budget and capped the block sizes
+    # NOTE: unlike the compose backward, the x transpose here is applied
+    # PER TAP (roll + slice, still fold-free thanks to the adjusted
+    # weights), not deferred per (ox, oz): this kernel already keeps mw,
+    # d_mw and nine window weights live, and three extra (3, BXW, BL)
+    # deferral accumulators push it over the VMEM pressure cliff (measured
+    # 4.9 -> 8.2 ms at 128^3 b4 with the deferred variant).
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
@@ -971,9 +1016,13 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
+            s_w = jnp.zeros((BX, BL), dtype=psl.dtype)
+            s_dw = jnp.zeros((BX, BL), dtype=psl.dtype)
             for oz in (-1, 0, 1):
                 w3 = wxy * Ws[(2, oz)]
-                tap = ztap_s(ytap, oz)
+                tap = (
+                    pltpu.roll(ytap, (-oz) % SL, 2) if oz != 0 else ytap
+                )
                 mw = mw + w3 * tap
                 # weight-gradient path at center
                 tc = tap[:, 8 : 8 + BX, Z : Z + BL]
@@ -982,38 +1031,21 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                     + d_mw_c[1] * tc[1]
                     + d_mw_c[2] * tc[2]
                 )
-                t2 = Wc[(2, oz)] * gt
-                acc0 = acc0 + a_xy * t2
-                acc1 = acc1 + b_xy * t2
-                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
-                # d_m0: x-transpose (roll + clamp fold), then y-transpose
-                # (aligned static slice + fold) immediately
+                s_w = s_w + Wc[(2, oz)] * gt
+                s_dw = s_dw + dWc[(2, oz)] * gt
+                # d_m0: x-transpose (pure window roll) then y-transpose
+                # (aligned static slice) per tap — both fold-free
                 P = w3 * d_mw  # (3, BXW, SL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 Ax = Pr[:, 8 : 8 + BX, :]
-                if ox != 0:
-                    Ax = Ax + jnp.where(
-                        xs_lo if ox == -1 else xs_hi,
-                        P[:, 8 : 8 + BX, :], 0.0,
-                    )
-                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-                if oy != 0:
-                    A = A + jnp.where(
-                        gy_lo if oy == -1 else gy_hi,
-                        Ax[:, :, Z : Z + BL], 0.0,
-                    )
-                accz[oz] = accz[oz] + A
+                accz[oz] = accz[oz] + Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+            acc0 = acc0 + a_xy * s_w
+            acc1 = acc1 + b_xy * s_w
+            acc2 = acc2 + c_xy * s_dw
 
-    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
-    for oz in (-1, 0, 1):
-        acc_z = accz[oz]
-        if oz != 0:
-            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
-            Ar = pltpu.roll(acc_z, oz % BL, 2)
-            A2 = jnp.where(wrap, 0.0, Ar)
-            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
-            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
-        acc_dm = acc_dm + acc_z
+    acc_dm = accz[0]
+    for oz in (-1, 1):
+        acc_dm = acc_dm + pltpu.roll(accz[oz], oz % BL, 2)
     dm_ref[0] = acc_dm
 
     # d_p: divergence path sum_a D_a^T (g * mw_a)
@@ -1221,15 +1253,22 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
             _em[k] = idx == (n_axis - 1 if o == 1 else 0)
         return jnp.where(_em[k], A, rolled)
 
-    # per-axis weights + clamp-fold masks, hoisted out of the tap loops
+    # per-axis weights with the CLAMP folded in once (_adjust_axis): every
+    # tap/transpose below is a pure roll — wrapped-in garbage is multiplied
+    # by zero and no fold/select masks are needed (see the y-blocked kernel)
+    row_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, YZ), 0)
+    lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, YZ), 1)
+    gx_w2 = xb * BX + row_w2 - 8
+    y_w2 = lane_w2 // Z
+    z_w2 = lane_w2 - y_w2 * Z
     W = {(a, o): _weights(dsl, a, o) for a in range(3) for o in (-1, 0, 1)}
-    x_lo, x_hi = gx_c == 0, gx_c == X - 1
-    y_lo, y_hi = y_c == 0, y_c == Y - 1
-    z_lo, z_hi = z_c == 0, z_c == Z - 1
+    W.update(_adjust_axis(W, 0, gx_w2 == 0, gx_w2 == X - 1))
+    W.update(_adjust_axis(W, 1, y_w2 == 0, y_w2 == Y - 1))
+    W.update(_adjust_axis(W, 2, z_w2 == 0, z_w2 == Z - 1))
 
     # d_phiinv: warp transpose of W * g (same algebra as the Ad* backward's
     # d_m0 block), with the per-axis transposes factored over the offset
-    # sum: x at 27, y at 9, z at 3
+    # sum: x at 27, y at 9, z at 3 — all pure rolls
     accs_xy = {}
     for ox in (-1, 0, 1):
         wx = W[(0, ox)]
@@ -1239,9 +1278,6 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                 P = (wxy * W[(2, oz)]) * gsl
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
                 A = Pr[:, 8 : 8 + BX, :]
-                if ox != 0:
-                    edge = x_lo if ox == -1 else x_hi
-                    A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
                 key = (oy, oz)
                 accs_xy[key] = A if key not in accs_xy else accs_xy[key] + A
 
@@ -1251,28 +1287,33 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
         for oy in (-1, 0, 1):
             A = accs_xy[(oy, oz)]
             if oy != 0:
-                wrap = y_lo if oy == 1 else y_hi
-                Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
-                A2 = jnp.where(wrap, 0.0, Ar)
-                edge = y_lo if oy == -1 else y_hi
-                A = A2 + jnp.where(edge, A, 0.0)
+                A = pltpu.roll(A, (oy * Z) % YZ, 2)
             acc_z = acc_z + A
         if oz != 0:
-            wrap = z_lo if oz == 1 else z_hi
-            Ar = pltpu.roll(acc_z, oz % YZ, 2)
-            A2 = jnp.where(wrap, 0.0, Ar)
-            zedge = z_lo if oz == -1 else z_hi
-            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
+            acc_z = pltpu.roll(acc_z, oz % YZ, 2)
         acc_dp = acc_dp + acc_z
     dp_ref[0] = acc_dp
 
     # d_v: s*g + s * weight-gradient path at center rows (weights/dweights
-    # hoisted; triple products factored at the oy level)
+    # hoisted + clamp-adjusted; triple products factored at the oy level)
     dctr = dsl[:, 8 : 8 + BX, :]
     g_c = gsl[:, 8 : 8 + BX, :]
 
-    Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    def cslw(w):  # (BXW, YZ) -> center rows (BX, YZ)
+        return w[8 : 8 + BX, :]
+
+    Wc = {k: cslw(w) for k, w in W.items()}
     dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    # center masks from FRESH center-shaped iotas: slicing a single-axis
+    # (broadcast-layout) mask crashes Mosaic's extract_strided_slice
+    row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, YZ), 0)
+    lane_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, YZ), 1)
+    gx_c2 = xb * BX + row_c2
+    y_c2 = lane_c2 // Z
+    z_c2 = lane_c2 - y_c2 * Z
+    dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
+    dWc.update(_adjust_axis(dWc, 1, y_c2 == 0, y_c2 == Y - 1))
+    dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
 
     acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
@@ -1284,17 +1325,22 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
             else psl[:, 8 : 8 + BX, :]
         )
         for oy in (-1, 0, 1):
-            xy = roll_clamp(base, oy, Z, y_c, Y)
+            xy = pltpu.roll(base, (-oy * Z) % YZ, 2) if oy != 0 else base
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
+            # (ox, oy) weight factors are constant across oz: accumulate the
+            # z-axis products per tap, multiply once per group
+            s_w = jnp.zeros((BX, YZ), dtype=psl.dtype)
+            s_dw = jnp.zeros((BX, YZ), dtype=psl.dtype)
             for oz in (-1, 0, 1):
-                tap = roll_clamp(xy, oz, 1, z_c, Z)
+                tap = pltpu.roll(xy, (-oz) % YZ, 2) if oz != 0 else xy
                 gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
-                t2 = Wc[(2, oz)] * gt
-                acc0 = acc0 + a_xy * t2
-                acc1 = acc1 + b_xy * t2
-                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
+                s_w = s_w + Wc[(2, oz)] * gt
+                s_dw = s_dw + dWc[(2, oz)] * gt
+            acc0 = acc0 + a_xy * s_w
+            acc1 = acc1 + b_xy * s_w
+            acc2 = acc2 + c_xy * s_dw
 
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
@@ -1334,81 +1380,85 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     gy_c = yb * BY + lane_cb // Z
     row_c = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1)
     gx_c = row_c + xb * BX
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (3, BX, WL), 1)
-    gx_w = row_w + xb * BX
 
-    # per-axis weights + clamp-fold masks, hoisted out of the tap loops
+    # per-axis weights with the CLAMP folded in once (_adjust_axis) — every
+    # tap is a pure roll/slice and every transpose a pure roll/slice; no
+    # per-tap selects or per-transpose folds (see the Ad* backward)
+    row_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, WL), 0)
+    lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, WL), 1)
+    gx_w2 = xb * BX + row_w2 - 8
+    gy_w2 = yb * BY + lane_w2 // Z - 1
+    z_w2 = lane_w2 % Z
     W = {(a, o): _weights(dsl, a, o) for a in range(3) for o in (-1, 0, 1)}
-    xw_lo, xw_hi = gx_w == 0, gx_w == X - 1
-    gy_lo, gy_hi = gy_c == 0, gy_c == Y - 1
+    W.update(_adjust_axis(W, 0, gx_w2 == 0, gx_w2 == X - 1))
+    W.update(_adjust_axis(W, 1, gy_w2 == 0, gy_w2 == Y - 1))
+    W.update(_adjust_axis(W, 2, z_w2 == 0, z_w2 == Z - 1))
 
-    # x and y transposes applied per tap (only 3 per-oz accumulators live;
-    # z transpose still factors over the offset sum — see the Ad* backward)
-    accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
-    for ox in (-1, 0, 1):
-        wx = W[(0, ox)]
-        for oy in (-1, 0, 1):
-            wxy = wx * W[(1, oy)]
-            for oz in (-1, 0, 1):
-                P = (wxy * W[(2, oz)]) * gsl  # (3, BXW, WL)
-                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
-                Ax = Pr[:, 8 : 8 + BX, :]  # (3, BX, WL)
-                if ox != 0:
-                    Ax = Ax + jnp.where(
-                        xw_lo if ox == -1 else xw_hi,
-                        P[:, 8 : 8 + BX, :], 0.0,
-                    )
-                A = Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
-                if oy != 0:
-                    A = A + jnp.where(
-                        gy_lo if oy == -1 else gy_hi,
-                        Ax[:, :, Z : Z + BL], 0.0,
-                    )
-                accz[oz] = accz[oz] + A
+    def csl(w):  # (BXW, WL) -> center (BX, BL)
+        return w[8 : 8 + BX, Z : Z + BL]
 
-    acc_dp = jnp.zeros(shape_c, dtype=psl.dtype)
-    for oz in (-1, 0, 1):
-        acc_z = accz[oz]
-        if oz != 0:
-            wrap = (z_c == 0) if oz == 1 else (z_c == Z - 1)
-            Ar = pltpu.roll(acc_z, oz % BL, 2)
-            A2 = jnp.where(wrap, 0.0, Ar)
-            zedge = (z_c == 0) if oz == -1 else (z_c == Z - 1)
-            acc_z = A2 + jnp.where(zedge, acc_z, 0.0)
-        acc_dp = acc_dp + acc_z
-    dp_ref[0] = acc_dp
-
-    # d_v at center (weights/dweights hoisted; products factored at oy)
     dctr = dsl[:, 8 : 8 + BX, Z : Z + BL]
     g_c = gsl[:, 8 : 8 + BX, Z : Z + BL]
-
-    Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    Wc = {k: csl(w) for k, w in W.items()}
     dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
-    zc_lo, zc_hi = z_c == 0, z_c == Z - 1
+    # center masks from FRESH center-shaped iotas: slicing a single-axis
+    # (broadcast-layout) mask crashes Mosaic's extract_strided_slice
+    row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 0)
+    lane_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 1)
+    gx_c2 = xb * BX + row_c2
+    gy_c2 = yb * BY + lane_c2 // Z
+    z_c2 = lane_c2 % Z
+    dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
+    dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
+    dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
 
-    def ztap_c(A, oz):
-        if oz == 0:
-            return A
-        rolled = pltpu.roll(A, (-oz) % BL, 2)
-        return jnp.where(zc_hi if oz == 1 else zc_lo, A, rolled)
-
+    # Merged 27-offset loop computing d_phiinv (warp-transpose of W*g) and
+    # the d_v weight-gradient path — weights shared per offset.  As in the
+    # Ad* backward: the y transpose is an aligned static slice per tap, the
+    # x transpose is DEFERRED to one window roll per (ox, oz), the z
+    # transpose factors over the whole offset sum, and the (ox, oy) weight
+    # factors of the d_v path multiply once per group via the (s_w, s_dw)
+    # z-accumulators.
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
+    accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(psl, (-ox) % BXW, 1) if ox != 0 else psl
+        wx = W[(0, ox)]
+        box = {
+            oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype) for oz in (-1, 0, 1)
+        }
         for oy in (-1, 0, 1):
+            wxy = wx * W[(1, oy)]
             ytap = xt[:, 8 : 8 + BX, (1 + oy) * Z : (1 + oy) * Z + BL]
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
+            s_w = jnp.zeros((BX, BL), dtype=psl.dtype)
+            s_dw = jnp.zeros((BX, BL), dtype=psl.dtype)
             for oz in (-1, 0, 1):
-                tap = ztap_c(ytap, oz)
+                P = (wxy * W[(2, oz)]) * gsl  # (3, BXW, WL)
+                box[oz] = box[oz] + P[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                tap = (
+                    pltpu.roll(ytap, (-oz) % BL, 2) if oz != 0 else ytap
+                )
                 gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
-                t2 = Wc[(2, oz)] * gt
-                acc0 = acc0 + a_xy * t2
-                acc1 = acc1 + b_xy * t2
-                acc2 = acc2 + c_xy * (dWc[(2, oz)] * gt)
+                s_w = s_w + Wc[(2, oz)] * gt
+                s_dw = s_dw + dWc[(2, oz)] * gt
+            acc0 = acc0 + a_xy * s_w
+            acc1 = acc1 + b_xy * s_w
+            acc2 = acc2 + c_xy * s_dw
+        # deferred x-transpose: one window roll per (ox, oz)
+        for oz in (-1, 0, 1):
+            Bz = box[oz]
+            Pr = pltpu.roll(Bz, ox % BXW, 1) if ox != 0 else Bz
+            accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+
+    acc_dp = accz[0]
+    for oz in (-1, 1):
+        acc_dp = acc_dp + pltpu.roll(accz[oz], oz % BL, 2)
+    dp_ref[0] = acc_dp
 
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
