@@ -375,20 +375,41 @@ def _cdot(ar, ai, br, bi, left=False):
     )
 
 
-def _zy_dft_kernel(inverse, re_ref, im_ref, zr_ref, zi_ref, yr_ref, yi_ref,
-                   ore_ref, oim_ref):
-    re = re_ref[0, 0]  # (Y, Z)
-    im = im_ref[0, 0]
+def _zy_dft_kernel(inverse, BR, re_ref, im_ref, zr_ref, zi_ref, yr_ref,
+                   yi_ref, ore_ref, oim_ref):
+    """z- and y-axis DFTs on a (BR, Y, Z) block of x-rows.  Batching BR=8
+    rows per grid step cuts the grid from F*X to F*X/8 steps (per-step
+    overhead dominated the un-batched kernel) and feeds the MXU a
+    (BR*Y, Z) z-contraction instead of 8 small (Y, Z) ones; the y
+    contraction (left-multiplication per row) stays per-row but pipelines
+    back-to-back on the MXU."""
+    re = re_ref[0]  # (BR, Y, Z)
+    im = im_ref[0]
     zr, zi = zr_ref[...], zi_ref[...]  # (Z, Z)
     yr, yi = yr_ref[...], yi_ref[...]  # (Y, Y)
+    _, Y, Z = re.shape
+
+    def zdft(r, i):
+        # merge (BR, Y) into the sublane axis: layout-preserving (lanes
+        # unchanged), one big MXU contraction
+        rf, if_ = _cdot(r.reshape(BR * Y, Z), i.reshape(BR * Y, Z), zr, zi)
+        return rf.reshape(BR, Y, Z), if_.reshape(BR, Y, Z)
+
+    def ydft(r, i):
+        outs = [_cdot(r[b], i[b], yr, yi, left=True) for b in range(BR)]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
     if inverse:
-        re, im = _cdot(re, im, yr, yi, left=True)
-        re, im = _cdot(re, im, zr, zi)
+        re, im = ydft(re, im)
+        re, im = zdft(re, im)
     else:
-        re, im = _cdot(re, im, zr, zi)
-        re, im = _cdot(re, im, yr, yi, left=True)
-    ore_ref[0, 0] = re
-    oim_ref[0, 0] = im
+        re, im = zdft(re, im)
+        re, im = ydft(re, im)
+    ore_ref[0] = re
+    oim_ref[0] = im
 
 
 def _x_mul_dft_kernel(re_ref, im_ref, m_ref, fr_ref, fi_ref, br_ref, bi_ref,
@@ -406,7 +427,8 @@ def _x_mul_dft_kernel(re_ref, im_ref, m_ref, fr_ref, fi_ref, br_ref, bi_ref,
 
 def _zy_dft_call(inverse, re, im, zmats, ymats):
     F, X, Y, Z = re.shape
-    spec = pl.BlockSpec((1, 1, Y, Z), lambda f, x: (f, x, 0, 0),
+    BR = next(b for b in (8, 4, 2, 1) if X % b == 0)
+    spec = pl.BlockSpec((1, BR, Y, Z), lambda f, x: (f, x, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def mat_spec(n):
@@ -414,12 +436,12 @@ def _zy_dft_call(inverse, re, im, zmats, ymats):
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_zy_dft_kernel, inverse),
+        partial(_zy_dft_kernel, inverse, BR),
         out_shape=(
             jax.ShapeDtypeStruct((F, X, Y, Z), re.dtype),
             jax.ShapeDtypeStruct((F, X, Y, Z), re.dtype),
         ),
-        grid=(F, X),
+        grid=(F, X // BR),
         in_specs=[spec, spec, mat_spec(Z), mat_spec(Z),
                   mat_spec(Y), mat_spec(Y)],
         out_specs=(spec, spec),
