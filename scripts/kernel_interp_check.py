@@ -134,6 +134,24 @@ def main():
         ok &= check(f"2d compose bwd d_p {sp2}", gc[0], gcr[0], 5e-5)
         ok &= check(f"2d compose bwd d_v {sp2}", gc[1], gcr[1], 5e-5)
 
+    # MXU-DFT fluid kernels vs a complex-fft oracle (tolerance = the
+    # documented 3-pass bf16 envelope, scaled to O(100) coefficients)
+    import lagomorph_tpu.ops.pallas.fft_unit as fu
+    import lagomorph_tpu.ops.fluid as fl
+
+    for spf in ((16, 8, 128), (24, 16, 128)):
+        F = 3
+        x1 = jnp.asarray(rng.standard_normal((F,) + spf), jnp.float32)
+        x2 = jnp.asarray(rng.standard_normal((F,) + spf), jnp.float32)
+        Mn = jnp.asarray(rng.uniform(0.5, 2.0, spf), jnp.float32)
+        fwd = tuple(fl._dft_pair(n, jnp.float32, False) for n in spf)
+        inv = tuple(fl._dft_pair(n, jnp.float32, True) for n in spf)
+        re, im = fu.fluid_flat_mxu(x1, x2, Mn, fwd, inv)
+        z = np.fft.fftn(np.asarray(x1) + 1j * np.asarray(x2), axes=(1, 2, 3))
+        ref = np.fft.ifftn(np.asarray(Mn)[None] * z, axes=(1, 2, 3))
+        ok &= check(f"mxu fluid re {spf}", re, jnp.asarray(ref.real), 2e-3)
+        ok &= check(f"mxu fluid im {spf}", im, jnp.asarray(ref.imag), 2e-3)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
