@@ -729,8 +729,19 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             _emw[k] = idx == (n_axis - 1 if o == 1 else 0)
         return jnp.where(_emw[k], A, rolled)
 
-    # per-axis weights at all window rows, hoisted (9 computes, not 81)
+    # per-axis weights at all window rows, hoisted (9 computes, not 81),
+    # with the CLAMP folded in once (_adjust_axis): every tap and transpose
+    # below is a pure roll — wrapped-in garbage is multiplied by zero
+    # (roll_clamp_w remains only for the Jacobian's clamped differences)
+    row_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, YZ), 0)
+    lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, YZ), 1)
+    gx_w2 = xb * BX + row_w2 - 8
+    y_w2 = lane_w2 // Z
+    z_w2 = lane_w2 - y_w2 * Z
     Ww = {(a, o): _weights(psl, a, o) for a in range(3) for o in (-1, 0, 1)}
+    Ww.update(_adjust_axis(Ww, 0, gx_w2 == 0, gx_w2 == X - 1))
+    Ww.update(_adjust_axis(Ww, 1, y_w2 == 0, y_w2 == Y - 1))
+    Ww.update(_adjust_axis(Ww, 2, z_w2 == 0, z_w2 == Z - 1))
 
     # mw (warped m0) at all window rows (rows 0 / BXW-1 hold wrap garbage
     # but are never read into outputs, which shift by at most 1 from the
@@ -740,11 +751,39 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
         wx = Ww[(0, ox)]
         for oy in (-1, 0, 1):
-            xy = roll_clamp_w(xt, oy, Z, y_w, Y)
+            xy = pltpu.roll(xt, (-oy * Z) % YZ, 2) if oy != 0 else xt
             wxy = wx * Ww[(1, oy)]
             for oz in (-1, 0, 1):
-                tap = roll_clamp_w(xy, oz, 1, z_w, Z)
+                tap = pltpu.roll(xy, (-oz) % YZ, 2) if oz != 0 else xy
                 mw = mw + (wxy * Ww[(2, oz)]) * tap
+
+    # one-sided-difference masks for the divergence path (NOT clamp folds —
+    # the transposes below are fold-free thanks to the adjusted weights)
+    x_lo, x_hi = gx_c == 0, gx_c == X - 1
+    y_lo, y_hi = y_c == 0, y_c == Y - 1
+    z_lo, z_hi = z_c == 0, z_c == Z - 1
+
+    # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel — computed
+    # IMMEDIATELY after mw so the window-sized mw can be released before
+    # the transpose/weight-gradient loop (scoped-vmem pressure: mw alive
+    # across the whole kernel is what kept this variant gated to tiny
+    # volumes in round 2)
+    div = jnp.zeros(shape_c, dtype=psl.dtype)
+    for a, (step, first, last) in enumerate(
+        ((None, x_lo, x_hi), (Z, y_lo, y_hi), (1, z_lo, z_hi))
+    ):
+        q = gsl * mw[a][None]
+        qc = q[:, 8 : 8 + BX, :]
+        if a == 0:
+            qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, :]
+            qp = pltpu.roll(q, BXW - 1, 1)[:, 8 : 8 + BX, :]
+        else:
+            qm = pltpu.roll(qc, step % YZ, 2)
+            qp = pltpu.roll(qc, (-step) % YZ, 2)
+        div = div + 0.5 * (
+            jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
+        )
+    del mw
 
     # Jacobian columns at all window rows (x from the slab halo)
     xp = pltpu.roll(psl, BXW - 1, 1)
@@ -767,80 +806,56 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         axis=0,
     )
 
-    # clamp-fold masks, hoisted out of the tap loops
-    x_lo, x_hi = gx_c == 0, gx_c == X - 1
-    y_lo, y_hi = y_c == 0, y_c == Y - 1
-    z_lo, z_hi = z_c == 0, z_c == Z - 1
-
-    # d_m0: transpose of the weighted warp (shift-transposes + clamp folds;
-    # same algebra as warp_unit._bwd_dI_kernel, all 3 channels at once)
-    acc_dm = jnp.zeros(shape_c, dtype=psl.dtype)
-    for ox in (-1, 0, 1):
-        wx = Ww[(0, ox)]
-        for oy in (-1, 0, 1):
-            wxy = wx * Ww[(1, oy)]
-            for oz in (-1, 0, 1):
-                P = (wxy * Ww[(2, oz)]) * d_mw
-                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
-                A = Pr[:, 8 : 8 + BX, :]
-                if ox != 0:
-                    edge = x_lo if ox == -1 else x_hi
-                    A = A + jnp.where(edge, P[:, 8 : 8 + BX, :], 0.0)
-                if oy != 0:
-                    wrap = y_lo if oy == 1 else y_hi
-                    Ar = pltpu.roll(A, (oy * Z) % YZ, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = y_lo if oy == -1 else y_hi
-                    A = A2 + jnp.where(edge, A, 0.0)
-                if oz != 0:
-                    wrap = z_lo if oz == 1 else z_hi
-                    Ar = pltpu.roll(A, oz % YZ, 2)
-                    A2 = jnp.where(wrap, 0.0, Ar)
-                    edge = z_lo if oz == -1 else z_hi
-                    A = A2 + jnp.where(edge, A, 0.0)
-                acc_dm = acc_dm + A
-    dm_ref[0] = acc_dm
-
-    # d_p, weight-gradient path at center rows (warp_unit._bwd_dD algebra)
+    # center weights/dweights, hoisted and clamp-adjusted like the window's
     dctr = psl[:, 8 : 8 + BX, :]
     d_mw_c = d_mw[:, 8 : 8 + BX, :]
-
-    # center weights/dweights hoisted (9+9 computes, not 135), and the
-    # per-tap triple products factored at the oy level (5 muls/tap, not 9)
+    row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, YZ), 0)
+    lane_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, YZ), 1)
+    gx_c2 = xb * BX + row_c2
+    y_c2 = lane_c2 // Z
+    z_c2 = lane_c2 - y_c2 * Z
     Wc = {(a, o): _weights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
     dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
+    for d_, lo, hi in ((0, gx_c2 == 0, gx_c2 == X - 1),
+                       (1, y_c2 == 0, y_c2 == Y - 1),
+                       (2, z_c2 == 0, z_c2 == Z - 1)):
+        Wc.update(_adjust_axis(Wc, d_, lo, hi))
+        dWc.update(_adjust_axis(dWc, d_, lo, hi))
 
-    _emc = {}
-
-    def roll_clamp_c(A, o, step, idx, n_axis):
-        if o == 0:
-            return A
-        rolled = pltpu.roll(A, (-o * step) % YZ, 2)
-        k = (step, o > 0)
-        if k not in _emc:
-            _emc[k] = idx == (n_axis - 1 if o == 1 else 0)
-        return jnp.where(_emc[k], A, rolled)
-
+    # Merged 27-offset loop: d_m0 (transpose of the weighted warp — x per
+    # tap as a pure window roll, y per tap as a pure center roll, z
+    # factored over the offset sum) and the d_p weight-gradient path
+    # (center taps reuse the same m-slab rolls; (ox, oy) weight factors
+    # multiply once per group via the (s_w, s_dw) z-accumulators)
+    accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
     acc0 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, YZ), dtype=psl.dtype)
     for ox in (-1, 0, 1):
+        wx = Ww[(0, ox)]
         base = (
             pltpu.roll(msl, (-ox) % BXW, 1)[:, 8 : 8 + BX, :]
             if ox != 0
             else msl[:, 8 : 8 + BX, :]
         )
         for oy in (-1, 0, 1):
-            xy = roll_clamp_c(base, oy, Z, y_c, Y)
+            wxy = wx * Ww[(1, oy)]
+            xy = pltpu.roll(base, (-oy * Z) % YZ, 2) if oy != 0 else base
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
-            # (ox, oy) weight factors are constant across oz: accumulate the
-            # z-axis products per tap, multiply once per group
             s_w = jnp.zeros((BX, YZ), dtype=psl.dtype)
             s_dw = jnp.zeros((BX, YZ), dtype=psl.dtype)
             for oz in (-1, 0, 1):
-                tap = roll_clamp_c(xy, oz, 1, z_c, Z)
+                # d_m0 piece: x then y transposes as pure rolls
+                P = (wxy * Ww[(2, oz)]) * d_mw
+                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                A = Pr[:, 8 : 8 + BX, :]
+                if oy != 0:
+                    A = pltpu.roll(A, (oy * Z) % YZ, 2)
+                accz[oz] = accz[oz] + A
+                # weight-gradient piece
+                tap = pltpu.roll(xy, (-oz) % YZ, 2) if oz != 0 else xy
                 gt = (
                     d_mw_c[0] * tap[0]
                     + d_mw_c[1] * tap[1]
@@ -852,22 +867,10 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             acc1 = acc1 + b_xy * s_w
             acc2 = acc2 + c_xy * s_dw
 
-    # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel
-    div = jnp.zeros(shape_c, dtype=psl.dtype)
-    for a, (step, first, last) in enumerate(
-        ((None, x_lo, x_hi), (Z, y_lo, y_hi), (1, z_lo, z_hi))
-    ):
-        q = gsl * mw[a][None]
-        qc = q[:, 8 : 8 + BX, :]
-        if a == 0:
-            qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, :]
-            qp = pltpu.roll(q, BXW - 1, 1)[:, 8 : 8 + BX, :]
-        else:
-            qm = pltpu.roll(qc, step % YZ, 2)
-            qp = pltpu.roll(qc, (-step) % YZ, 2)
-        div = div + 0.5 * (
-            jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
-        )
+    acc_dm = accz[0]
+    for oz in (-1, 1):
+        acc_dm = acc_dm + pltpu.roll(accz[oz], oz % YZ, 2)
+    dm_ref[0] = acc_dm
 
     dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
 
@@ -1119,11 +1122,14 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
     xw = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
     if wu.supported(shp, p.shape, p.dtype):
         BX = wu._pick_block(X, Y * Z)
-        # Mosaic temporaries (mw, d_mw, q, weights, taps) run ~8x the three
-        # resident slabs; 64^3 measured 27.8M scoped vs the 16M limit, so
-        # only small whole-Y volumes qualify — larger ones use the composed
-        # backward (still Pallas warp-bwd kernels, ~1.8 ms at 64^3 b4)
-        if 9 * 3 * (BX + 16) * Y * Z * 4 > 5 * 1024 * 1024:
+        # Scoped-vmem envelope: the merged clamp-adjusted kernel still
+        # wants 26M scoped at 64^3 (measured round 3 via mosaic_probe; the
+        # mw-early-release reorder saved only 3M of the round-2 29M) vs the
+        # 16M limit — window-sized mw/d_mw/weights are inherent to whole-Y.
+        # Only small volumes fit; larger ones use the y-blocked variant
+        # (Z % 128) or the composed backward (still Pallas warp-bwd
+        # kernels, ~1.8 ms at 64^3 b4).
+        if (BX + 16) * Y * Z > 50_000:
             return None
         ppad = jnp.pad(p, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
         mpad = jnp.pad(m0b, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)

@@ -14,9 +14,13 @@ import jax.numpy as jnp
 import lagomorph_tpu.ops.pallas.epdiff_unit as eu
 
 which = sys.argv[1] if len(sys.argv) > 1 else "adstar"
-# Y*Z > 8192 forces the y-blocked kernels (whole-Y gate rejects)
-X = 32
-Y = Z = 128
+# default Y*Z > 8192 forces the y-blocked kernels (whole-Y gate rejects);
+# pass X Y Z to probe other geometries (e.g. 64 64 64 = whole-Y)
+if len(sys.argv) > 4:
+    X, Y, Z = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+else:
+    X = 32
+    Y = Z = 128
 B = 1
 rng = np.random.default_rng(0)
 shp = (B, 3, X, Y, Z)
