@@ -102,17 +102,7 @@ def expmap(
         # to the per-warp runtime tiering (each tier is exact in its
         # regime) but without 2 conds per substep.
         if transport_mode is None and compose_mode is None:
-            from .ops.interp import get_warp_mode
-            from .ops.pallas import epdiff_unit as _eu
-            from .ops.pallas import epdiff2d as _e2
-
-            fused = None
-            if get_warp_mode() in ("auto", "unit"):
-                if _eu.ad_star_supported(m0.shape, m0.shape, m0.dtype):
-                    fused = (_eu.ad_star_unit_pallas,
-                             _eu.compose_disp_vel_pallas)
-                elif _e2.supported(m0.shape, m0.shape, m0.dtype):
-                    fused = (_e2.ad_star2d_pallas, _e2.compose2d_pallas)
+            fused = _hoisted_fused_pair(m0)
             if fused is not None:
                 return _expmap_hoisted(
                     metric, m0, dt, length, phiinv, mommask, checkpoints,
@@ -133,6 +123,71 @@ def expmap(
     return phiinv
 
 
+def _hoisted_fused_pair(m0):
+    """The fused ``(ad_star, compose)`` kernel pair for this shape/dtype
+    (3D epdiff_unit or 2D epdiff2d), or None when the hoisted static-tier
+    fast path does not apply (unsupported geometry, kernels disabled, or a
+    forced global warp mode)."""
+    from .ops.interp import get_warp_mode
+    from .ops.pallas import epdiff_unit as _eu
+    from .ops.pallas import epdiff2d as _e2
+
+    if get_warp_mode() not in ("auto", "unit"):
+        return None
+    if _eu.ad_star_supported(m0.shape, m0.shape, m0.dtype):
+        return (_eu.ad_star_unit_pallas, _eu.compose_disp_vel_pallas)
+    if _e2.supported(m0.shape, m0.shape, m0.dtype):
+        return (_e2.ad_star2d_pallas, _e2.compose2d_pallas)
+    return None
+
+
+def _in_unit(d):
+    return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
+
+
+def _expmap_fast_flagged(metric, m0, dt, length, phiinv0, mommask,
+                         checkpoints, fused):
+    """The hoisted fast scan: integrate with static fused unit-tier kernels,
+    accumulating a trajectory-validity flag.  Returns ``(phiinv, ok)``; the
+    result is exact iff ``ok`` (callers must fall back to the general tier
+    otherwise — see :func:`_expmap_hoisted`)."""
+    ad_star_fused, compose_fused = fused
+
+    def fast_step(carry, _):
+        phiinv, ok = carry
+        ok = jnp.logical_and(ok, _in_unit(phiinv))
+        m = ad_star_fused(phiinv, m0)
+        if mommask is not None:
+            m = m * mommask
+        v = metric.sharp(m)
+        ok = jnp.logical_and(ok, _in_unit(-dt * v))
+        phiinv = compose_fused(phiinv, v, -dt)
+        return (phiinv, ok), None
+
+    if checkpoints:
+        fast_step = jax.checkpoint(fast_step)
+    (fast, ok), _ = jax.lax.scan(
+        fast_step, (phiinv0, jnp.asarray(True)), None, length=length
+    )
+    return fast, ok
+
+
+def _expmap_general(metric, m0, dt, length, phiinv0, mommask):
+    """Exact general-tier integration (the fallback branch of the hoisted
+    fast path); every step is rematerialized."""
+
+    def step(phiinv, _):
+        return EPDiff_step(
+            metric, m0, dt, phiinv, mommask=mommask,
+            transport_mode="general", compose_mode="general",
+        ), None
+
+    phiinv, _ = jax.lax.scan(
+        jax.checkpoint(step), phiinv0, None, length=length
+    )
+    return phiinv
+
+
 def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints,
                     fused):
     """Integrate with static fused unit-tier kernels plus a trajectory
@@ -143,39 +198,12 @@ def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints,
 
     ``fused``: the ``(ad_star, compose)`` kernel pair for this
     dimensionality (3D epdiff_unit or 2D epdiff2d)."""
-    ad_star_fused, compose_fused = fused
-
-    def in_unit(d):
-        return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
-
-    def fast_step(carry, _):
-        phiinv, ok = carry
-        ok = jnp.logical_and(ok, in_unit(phiinv))
-        m = ad_star_fused(phiinv, m0)
-        if mommask is not None:
-            m = m * mommask
-        v = metric.sharp(m)
-        ok = jnp.logical_and(ok, in_unit(-dt * v))
-        phiinv = compose_fused(phiinv, v, -dt)
-        return (phiinv, ok), None
-
-    if checkpoints:
-        fast_step = jax.checkpoint(fast_step)
-    (fast, ok), _ = jax.lax.scan(
-        fast_step, (phiinv0, jnp.asarray(True)), None, length=length
+    fast, ok = _expmap_fast_flagged(
+        metric, m0, dt, length, phiinv0, mommask, checkpoints, fused
     )
 
     def general_fn(phiinv0_, m0_, _fast):
-        def step(phiinv, _):
-            return EPDiff_step(
-                metric, m0_, dt, phiinv, mommask=mommask,
-                transport_mode="general", compose_mode="general",
-            ), None
-
-        phiinv, _ = jax.lax.scan(
-            jax.checkpoint(step), phiinv0_, None, length=length
-        )
-        return phiinv
+        return _expmap_general(metric, m0_, dt, length, phiinv0_, mommask)
 
     return jax.lax.cond(
         ok, lambda p0, m_, f: f, general_fn, phiinv0, m0, fast

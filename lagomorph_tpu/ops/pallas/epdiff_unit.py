@@ -1021,6 +1021,12 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             s_w = jnp.zeros((BX, BL), dtype=psl.dtype)
             s_dw = jnp.zeros((BX, BL), dtype=psl.dtype)
+            # d_m0 transpose: the y-transpose slice of every factor is taken
+            # BEFORE the multiply/roll (identical values — pure element
+            # selection), so the P product and the per-tap x roll run on BL
+            # lanes instead of SL
+            off = (1 - oy) * Z
+            dmw_t = d_mw[:, :, off : off + BL]
             for oz in (-1, 0, 1):
                 w3 = wxy * Ws[(2, oz)]
                 tap = (
@@ -1036,12 +1042,11 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
                 )
                 s_w = s_w + Wc[(2, oz)] * gt
                 s_dw = s_dw + dWc[(2, oz)] * gt
-                # d_m0: x-transpose (pure window roll) then y-transpose
-                # (aligned static slice) per tap — both fold-free
-                P = w3 * d_mw  # (3, BXW, SL)
+                # d_m0: x-transpose (pure window roll, post-y-slice) — both
+                # transposes fold-free thanks to the adjusted weights
+                P = w3[:, off : off + BL] * dmw_t  # (3, BXW, BL)
                 Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
-                Ax = Pr[:, 8 : 8 + BX, :]
-                accz[oz] = accz[oz] + Ax[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
             acc0 = acc0 + a_xy * s_w
             acc1 = acc1 + b_xy * s_w
             acc2 = acc2 + c_xy * s_dw
@@ -1436,16 +1441,22 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
             oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype) for oz in (-1, 0, 1)
         }
         for oy in (-1, 0, 1):
-            wxy = wx * W[(1, oy)]
             ytap = xt[:, 8 : 8 + BX, (1 + oy) * Z : (1 + oy) * Z + BL]
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
             s_w = jnp.zeros((BX, BL), dtype=psl.dtype)
             s_dw = jnp.zeros((BX, BL), dtype=psl.dtype)
+            # d_phiinv transpose: w3 is consumed ONLY by the P path here (no
+            # warp accumulation in this kernel), so every factor is y-slice-
+            # transposed BEFORE the multiplies — the whole product chain
+            # runs on BL lanes instead of WL (identical values)
+            off = (1 - oy) * Z
+            wxy_t = wx[:, off : off + BL] * W[(1, oy)][:, off : off + BL]
+            g_t = gsl[:, :, off : off + BL]
             for oz in (-1, 0, 1):
-                P = (wxy * W[(2, oz)]) * gsl  # (3, BXW, WL)
-                box[oz] = box[oz] + P[:, :, (1 - oy) * Z : (1 - oy) * Z + BL]
+                Wz_t = W[(2, oz)][:, off : off + BL]
+                box[oz] = box[oz] + (wxy_t * Wz_t) * g_t
                 tap = (
                     pltpu.roll(ytap, (-oz) % BL, 2) if oz != 0 else ytap
                 )

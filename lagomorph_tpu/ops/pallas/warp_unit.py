@@ -236,9 +236,15 @@ def _sdu_fwd(I, disp):
 def _sdu_bwd(res, g):
     I, disp = res
     N = disp.shape[0]
-    X, Y, Z = disp.shape[2:]
     broadcasting = I.shape[0] == 1 and N > 1
     shp = (N,) + I.shape[1:]
+    if len(disp.shape) != 5:
+        # non-3D (e.g. 2D): no kernel geometry — XLA formulation's VJP
+        from ..sampling import sample_displacement_unit
+
+        _, vjp = jax.vjp(sample_displacement_unit, I, disp)
+        return vjp(g)
+    X, Y, Z = disp.shape[2:]
     if supported(shp, disp.shape, disp.dtype):
         Ib = jnp.broadcast_to(I, shp) if broadcasting else I
         Ipad = jnp.pad(Ib, [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)], mode="edge")
