@@ -114,22 +114,24 @@ def _ztap(A, oz, W_lanes, z_idx, W):
 # ---------------------------------------------------------------------------
 
 
+def _h2d_window(BX):
+    """window(Lq) for the 2D kernels' (N, H//BX) grid (x slab windows)."""
+    (n, xb), L, T, unravel = wu._grid_linear_step(2)
+
+    def window(Lq):
+        nq, xbq = unravel(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16), slice(None))
+
+    return n, xb, L, T, window
+
+
 def _adstar2d_fwd_kernel(BX, W, ppad_ref, mpad_ref, out_ref, p_slab, m_slab,
                          sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-
-    cp1 = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems.at[0]
-    )
-    cp2 = pltpu.make_async_copy(
-        mpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], m_slab, sems.at[1]
-    )
-    cp1.start(); cp2.start()
-    cp1.wait(); cp2.wait()
-
-    psl = p_slab[...]  # (2, BX+16, W)
-    msl = m_slab[...]
+    n, xb, L, T, window = _h2d_window(BX)
+    slot = wu._db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
+                        window, L, T)
+    psl = p_slab[slot]  # (2, BX+16, W)
+    msl = m_slab[slot]
     d = psl[:, 8 : 8 + BX, :]
 
     shape = (2, BX, W)
@@ -157,26 +159,13 @@ def _adstar2d_fwd_kernel(BX, W, ppad_ref, mpad_ref, out_ref, p_slab, m_slab,
 
 def _adstar2d_bwd_kernel(BX, W, H, ppad_ref, mpad_ref, gpad_ref,
                          dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
     BXW = BX + 16
-
-    cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
-        )
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    psl = p_slab[...]  # (2, BXW, W) edge-padded
-    msl = m_slab[...]
-    gsl = g_slab[...]  # zero-padded
+    n, xb, L, T, window = _h2d_window(BX)
+    slot = wu._db_slabs((ppad_ref, mpad_ref, gpad_ref),
+                        (p_slab, m_slab, g_slab), sems, window, L, T)
+    psl = p_slab[slot]  # (2, BXW, W) edge-padded
+    msl = m_slab[slot]
+    gsl = g_slab[slot]  # zero-padded
 
     shape_w = (2, BXW, W)
     z_w = _lane_idx(shape_w)
@@ -299,9 +288,9 @@ def _adstar2d_fwd_dispatch(phiinv, m0b):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
 
@@ -347,10 +336,10 @@ def _adstar2d_bwd(res, g):
             )
         ] * 2,
         scratch_shapes=[
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(ppad, mpad, gpad)
     if broadcasting:
@@ -367,19 +356,13 @@ ad_star2d_pallas.defvjp(_adstar2d_fwd, _adstar2d_bwd)
 
 
 def _compose2d_fwd_kernel(BX, W, s, ppad_ref, v_ref, out_ref, p_slab, sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-
-    cp = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems
-    )
-    cp.start()
+    n, xb, L, T, window = _h2d_window(BX)
+    slot = wu._db_slabs((ppad_ref,), (p_slab,), sems, window, L, T)
     v = v_ref[0]  # (2, BX, W)
     d = s * v
     shape = (2, BX, W)
     z_idx = _lane_idx(shape)
-    cp.wait()
-    psl = p_slab[...]
+    psl = p_slab[slot]
     Wd = {(a, o): _w2(d, a, o) for a in range(2) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
@@ -394,26 +377,13 @@ def _compose2d_fwd_kernel(BX, W, s, ppad_ref, v_ref, out_ref, p_slab, sems):
 
 def _compose2d_bwd_kernel(BX, W, H, s, ppad_ref, vpad_ref, gpad_ref,
                           dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
     BXW = BX + 16
-
-    cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
-        )
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (vpad_ref, v_slab), (gpad_ref, g_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    psl = p_slab[...]
-    dsl = s * v_slab[...]
-    gsl = g_slab[...]
+    n, xb, L, T, window = _h2d_window(BX)
+    slot = wu._db_slabs((ppad_ref, vpad_ref, gpad_ref),
+                        (p_slab, v_slab, g_slab), sems, window, L, T)
+    psl = p_slab[slot]
+    dsl = s * v_slab[slot]
+    gsl = g_slab[slot]
 
     shape_w = (2, BXW, W)
     z_w = _lane_idx(shape_w)
@@ -499,8 +469,8 @@ def compose2d_pallas(phiinv, v, s):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )(ppad, v)
 
@@ -532,10 +502,10 @@ def _compose2d_bwd(s, res, g):
             )
         ] * 2,
         scratch_shapes=[
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.VMEM((2, BX + 16, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.VMEM((2, 2, BX + 16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )(ppad, vpad, gpad)
     return dp, dv

@@ -124,6 +124,16 @@ def _adjust_axis(W, a, lo, hi):
     }
 
 
+# Double-buffered slab DMA helpers (shared with warp_unit, where they are
+# defined): see warp_unit._db_slabs for the pipelining story.
+from .warp_unit import (  # noqa: F401,E402
+    _db_slabs,
+    _grid_linear_step,
+    _yb_linear_step,
+    set_pipeline_slabs,
+)
+
+
 # On the 8-row x-halo (investigated and closed in round 3): taps reach only
 # +-1 but every kernel pads x by (8, 8).  This is FORCED by Mosaic's
 # sublane alignment, not sloppiness: in-kernel row slices are free only at
@@ -140,21 +150,17 @@ def _adjust_axis(W, a, lo, hi):
 
 
 def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab, sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
     YZ = Y * Z
+    (n, xb), L, T, unravel = _grid_linear_step(2)
 
-    cp1 = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems.at[0]
-    )
-    cp2 = pltpu.make_async_copy(
-        mpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], m_slab, sems.at[1]
-    )
-    cp1.start(); cp2.start()
-    cp1.wait(); cp2.wait()
+    def window(Lq):
+        nq, xbq = unravel(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16), slice(None))
 
-    psl = p_slab[...]  # (3, BX+16, YZ)
-    msl = m_slab[...]
+    slot = _db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
+                     window, L, T)
+    psl = p_slab[slot]  # (3, BX+16, YZ)
+    msl = m_slab[slot]
     d = psl[:, 8 : 8 + BX, :]  # center block = weights source
 
     shape = (3, BX, YZ)
@@ -219,9 +225,9 @@ def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
     return out.reshape(N, 3, X, Y, Z)
@@ -234,25 +240,19 @@ def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
 
 def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
                           p_slab, m_slab, sems):
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
     WL = (BY + 2) * Z
     BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    cp1 = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        p_slab, sems.at[0],
-    )
-    cp2 = pltpu.make_async_copy(
-        mpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        m_slab, sems.at[1],
-    )
-    cp1.start(); cp2.start()
-    cp1.wait(); cp2.wait()
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL, WL))
 
-    psl = p_slab[...]  # (3, BX+16, WL)
-    msl = m_slab[...]
+    slot = _db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
+                     window, L, T)
+    psl = p_slab[slot]  # (3, BX+16, WL)
+    msl = m_slab[slot]
     d = psl[:, 8 : 8 + BX, Z : Z + BL]  # center block (3, BX, BL)
 
     shape = (3, BX, BL)
@@ -297,16 +297,17 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
 
 
 def _fwd_blocks(X: int, Y: int, Z: int):
-    """(BX, BY) for the fused y-blocked forwards, bounded so the two slabs
-    plus Mosaic temporaries fit scoped VMEM (~80 B per slab lane-row
-    empirically: BX=16/BY=32 at Z=256 wanted 22.2M vs the 16M limit)."""
+    """(BX, BY) for the fused y-blocked forwards, bounded so the slabs plus
+    Mosaic temporaries fit scoped VMEM (~80 B per slab lane-row
+    empirically: BX=16/BY=32 at Z=256 wanted 22.2M vs the 16M limit; +24 B
+    for the second slot of the double-buffered slab pair)."""
     for bx in (16, 8):
         if X % bx:
             continue
         for by in (32, 16, 8, 4, 2):
             if Y % by or (by + 2) * Z > 10240:
                 continue
-            if (bx + 16) * (by + 2) * Z * 80 > 15 * 1024 * 1024:
+            if (bx + 16) * (by + 2) * Z * 104 > 15 * 1024 * 1024:
                 continue
             return bx, by
     return None
@@ -331,9 +332,9 @@ def _adstar_fwd_yb(ppad, mpad, X, Y, Z):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
     return out.reshape(N, 3, X, Y, Z)
@@ -458,14 +459,14 @@ def _dweights(d, axis, o):
 
 def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
     """whole-Y: out = s*v + 27-tap warp of phiinv with weights from s*v."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
     YZ = Y * Z
+    (n, xb), L, T, unravel = _grid_linear_step(2)
 
-    cp = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], p_slab, sems
-    )
-    cp.start()
+    def window(Lq):
+        nq, xbq = unravel(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16), slice(None))
+
+    slot = _db_slabs((ppad_ref,), (p_slab,), sems, window, L, T)
     v = v_ref[0]  # (3, BX, YZ)
     d = s * v
 
@@ -485,8 +486,7 @@ def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
             _em[k] = idx == (n_axis - 1 if o == 1 else 0)
         return jnp.where(_em[k], A, rolled)
 
-    cp.wait()
-    psl = p_slab[...]
+    psl = p_slab[slot]
     W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
@@ -505,17 +505,16 @@ def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
 def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
                            p_slab, sems):
     """y-blocked variant of the fused composition forward."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
     WL = (BY + 2) * Z
     BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    cp = pltpu.make_async_copy(
-        ppad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        p_slab, sems,
-    )
-    cp.start()
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL, WL))
+
+    slot = _db_slabs((ppad_ref,), (p_slab,), sems, window, L, T)
     v = v_ref[0]  # (3, BX, BL)
     d = s * v
 
@@ -533,8 +532,7 @@ def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
             _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
         return jnp.where(_em[oz], A, rolled)
 
-    cp.wait()
-    psl = p_slab[...]
+    psl = p_slab[slot]
     W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
@@ -576,8 +574,8 @@ def _compose_fwd_dispatch(phiinv, v, s):
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 1)),
             ],
         )(
             ppad.reshape(N, 3, X + 16, Y * Z),
@@ -608,8 +606,8 @@ def _compose_fwd_dispatch(phiinv, v, s):
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 1)),
             ],
         )(
             ppad.reshape(N, 3, X + 16, (Y + 2) * Z),
@@ -880,20 +878,24 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     """y-blocked fused Ad* backward: windows carry a 2-voxel y halo (the
     inner quantities mw / d_mw are needed on a 1-halo subwindow, whose own
     taps need one more).  Static lane slices at multiples of Z stay
-    (8,128)-aligned since Z % 128 == 0."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
+    (8,128)-aligned since Z % 128 == 0.
+
+    NOT slab-double-buffered: this kernel sits on the scoped-vmem cliff
+    (15.55M of the 16M limit at BX=32/BY=8) and the doubled slot axis
+    overflows by 2.2M (measured); even deferring only the m-slab WAIT past
+    the Jacobian/weights setup costs 0.6M of scoped headroom (16.17M,
+    overflow) — plain start-all/wait-all is the fit."""
     BXW = BX + 16
     WL2 = (BY + 4) * Z  # window lanes (2-halo)
     SL = (BY + 2) * Z   # subwindow lanes (1-halo)
     BL = BY * Z
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
 
+    win = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
     cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2)],
-            slab, sems.at[i],
-        )
+        pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
         for i, (ref, slab) in enumerate(
             ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
         )
@@ -1360,30 +1362,21 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                            dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
     """y-blocked fused composition backward (1-voxel y halo suffices: the
     transpose reads W*g at center±1 only, and W needs no further taps)."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
     BXW = BX + 16
     WL = (BY + 2) * Z
     BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL)],
-            slab, sems.at[i],
-        )
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (vpad_ref, v_slab), (gpad_ref, g_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BXW),
+                pl.ds(ybq * BL, WL))
 
-    psl = p_slab[...]
-    dsl = s * v_slab[...]
-    gsl = g_slab[...]
+    slot = _db_slabs((ppad_ref, vpad_ref, gpad_ref),
+                     (p_slab, v_slab, g_slab), sems, window, L, T)
+    psl = p_slab[slot]
+    dsl = s * v_slab[slot]
+    gsl = g_slab[slot]
 
     shape_c = (3, BX, BL)
     lane_cb = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
@@ -1554,10 +1547,10 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
                 )
             ] * 2,
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
         )(ppad, vpad, gpad)
         return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)

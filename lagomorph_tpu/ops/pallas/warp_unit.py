@@ -86,8 +86,114 @@ def supported(I_shape, disp_shape, dtype) -> bool:
         return False
     C = I_shape[1]
     bx = _pick_block(X, Y * Z)
-    vmem = (C * (bx + 16) + 3 * bx + 4 * C * bx) * Y * Z * 4
+    # 2x the I slab for the double-buffered slot axis
+    vmem = (2 * C * (bx + 16) + 3 * bx + 4 * C * bx) * Y * Z * 4
     return vmem < 12 * 1024 * 1024
+
+
+_PIPELINE_SLABS = True
+
+
+def set_pipeline_slabs(enabled: bool):
+    """Enable/disable double-buffered slab DMA in the manual-copy kernels
+    (trace-time flag, for A/B measurement and debugging)."""
+    global _PIPELINE_SLABS
+    prev = _PIPELINE_SLABS
+    _PIPELINE_SLABS = bool(enabled)
+    return prev
+
+
+def _grid_linear_step(ndim):
+    """Linear step index over a sequential lexicographic ``ndim``-axis grid:
+    returns ``(ids, L, T, unravel)`` — the per-axis program ids, the linear
+    index of this step, the total step count, and a function mapping any
+    linear index back to per-axis scalar indices."""
+    ids = tuple(pl.program_id(i) for i in range(ndim))
+    sizes = tuple(pl.num_programs(i) for i in range(ndim))
+    L = ids[0]
+    for i in range(1, ndim):
+        L = L * sizes[i] + ids[i]
+    T = 1
+    for s in sizes:
+        T = T * s
+
+    def unravel(Lq):
+        out = []
+        for i in range(ndim - 1, 0, -1):
+            out.append(jax.lax.rem(Lq, sizes[i]))
+            Lq = jax.lax.div(Lq, sizes[i])
+        out.append(Lq)
+        return tuple(reversed(out))
+
+    return ids, L, T, unravel
+
+
+def _yb_linear_step():
+    """(n, xb, yb, L, T, unravel) for the standard (N, X//BX, Y//BY) grid."""
+    (n, xb, yb), L, T, unravel = _grid_linear_step(3)
+    return n, xb, yb, L, T, unravel
+
+
+def _db_slabs(refs, slabs, sems, window, L, T):
+    """Double-buffered manual slab DMA for halo-window kernels.
+
+    The halo windows overlap between grid steps, so they cannot be expressed
+    as (disjoint) BlockSpec tiles and Pallas's automatic input pipelining
+    does not apply; with plain start-then-wait copies every grid step
+    exposed its full slab-DMA latency (measured 29-48%% of kernel time at
+    128^3 b4, scripts/dma_stall_probe.py).  This helper hand-pipelines them:
+    each ``slabs[i]`` carries a leading slot axis of 2 and ``sems`` is
+    ``(2, len(refs))``; step L's copies were started during step L-1 (the
+    first step starts its own), step L+1's copies are started into the other
+    slot before waiting, and the TPU's sequential lexicographic grid order
+    makes the linear step index L the slot selector.
+
+    ``window(Lq)`` maps a linear step index to the index tuple selecting
+    that step's HBM window — either one tuple shared by every ref, or a
+    list/tuple of per-ref index tuples.  Returns the slot holding step L's
+    data."""
+
+    def windows(Lq):
+        win = window(Lq)
+        if isinstance(win, list):
+            return win
+        return [win] * len(refs)
+
+    if not _PIPELINE_SLABS:
+        wins = windows(L)
+        for i, (ref, slab) in enumerate(zip(refs, slabs)):
+            pltpu.make_async_copy(
+                ref.at[wins[i]], slab.at[0], sems.at[0, i]
+            ).start()
+        for i, (ref, slab) in enumerate(zip(refs, slabs)):
+            pltpu.make_async_copy(
+                ref.at[wins[i]], slab.at[0], sems.at[0, i]
+            ).wait()
+        return 0
+
+    slot = jax.lax.rem(L, 2)
+
+    def start(Lq, s):
+        wins = windows(Lq)
+        for i, (ref, slab) in enumerate(zip(refs, slabs)):
+            pltpu.make_async_copy(
+                ref.at[wins[i]], slab.at[s], sems.at[s, i]
+            ).start()
+
+    @pl.when(L == 0)
+    def _():
+        start(L, slot)
+
+    @pl.when(L + 1 < T)
+    def _():
+        start(L + 1, 1 - slot)
+
+    wins = windows(L)
+    for i, (ref, slab) in enumerate(zip(refs, slabs)):
+        pltpu.make_async_copy(
+            ref.at[wins[i]], slab.at[slot], sems.at[slot, i]
+        ).wait()
+    return slot
 
 
 def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
@@ -99,14 +205,15 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
     1, each with a clamp edge-fix: at the clamped edge the tap value equals
     the unshifted value, so ``tap = where(edge, A, roll(A, -o))``.
     """
-    xb = pl.program_id(1)
-    n = pl.program_id(0)
     # aligned slab: padded rows [xb*BX, xb*BX + BX + 16); the output block
     # maps to slab-local rows [8, 8+BX)
-    cp = pltpu.make_async_copy(
-        Ipad_ref.at[n, :, pl.ds(xb * BX, BX + 16), :], scratch, sem
-    )
-    cp.start()
+    (n, xb), L, T, unravel = _grid_linear_step(2)
+
+    def window(Lq):
+        nq, xbq = unravel(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16), slice(None))
+
+    slot = _db_slabs((Ipad_ref,), (scratch,), sem, window, L, T)
     d = disp_ref[0]  # (3, BX, Y*Z)
 
     def w(axis, o):
@@ -120,8 +227,6 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
                 fa == 0.0
             ).astype(da.dtype) * (1.0 - ta)
         return (fa == 0.0).astype(da.dtype) * ta
-
-    cp.wait()
 
     YZ = Y * Z
     shape = (C, BX, YZ)
@@ -139,7 +244,7 @@ def _fwd_kernel(BX, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
         return jnp.where(edge, A, rolled)
 
     acc = jnp.zeros(shape, dtype=d.dtype)
-    slab = scratch[...]
+    slab = scratch[slot]
     W = {(a, o): w(a, o) for a in range(3) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
         # x-tap: sublane roll of the slab then an 8-aligned static slice
@@ -183,8 +288,8 @@ def _warp_unit_fwd_pallas(Ipad, disp):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, BX + 16, Y * Z), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, BX + 16, Y * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )(Ipad_f, disp_f)
     return out.reshape(N, C, X, Y, Z)
@@ -576,17 +681,16 @@ def _fwd_kernel_yb(BX, BY, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
     """Forward warp, y-blocked: I window carries x- and y-halos (edge pad),
     y-taps are window lane-rolls by Z followed by an aligned center slice,
     z-taps lane rolls by 1 with z-edge masks."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
     WL = (BY + 2) * Z  # window lanes
     BL = BY * Z        # center lanes
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    cp = pltpu.make_async_copy(
-        Ipad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        scratch, sem,
-    )
-    cp.start()
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL, WL))
+
+    slot = _db_slabs((Ipad_ref,), (scratch,), sem, window, L, T)
     d = disp_ref[0]  # (3, BX, BL)
 
     def w(axis, o):
@@ -600,8 +704,6 @@ def _fwd_kernel_yb(BX, BY, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
                 fa == 0.0
             ).astype(da.dtype) * (1.0 - ta)
         return (fa == 0.0).astype(da.dtype) * ta
-
-    cp.wait()
 
     shape = (C, BX, BL)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
@@ -617,7 +719,7 @@ def _fwd_kernel_yb(BX, BY, Y, Z, C, Ipad_ref, disp_ref, out_ref, scratch, sem):
             _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
         return jnp.where(_em[oz], A, rolled)
 
-    slab = scratch[...]
+    slab = scratch[slot]
     acc = jnp.zeros(shape, dtype=d.dtype)
     W = {(a, o): w(a, o) for a in range(3) for o in (-1, 0, 1)}
     for ox in (-1, 0, 1):
@@ -671,8 +773,8 @@ def _warp_unit_fwd_yb(Ipad, disp):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )(Ipad_f, disp_f)
     return out.reshape(N, C, X, Y, Z)
@@ -682,26 +784,21 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
                       gpad_ref, dpad_ref, dI_ref, g_slab, d_slab, sems):
     """Y-blocked d_I: transposed weighted stencil over an x/y-haloed window
     of zero-padded (w_o * g)."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
-    c = pl.program_id(3)
     WL = (BY + 2) * Z
     BL = BY * Z
+    (n, xb, yb, c), L, T, unravel = _grid_linear_step(4)
 
-    cp1 = pltpu.make_async_copy(
-        gpad_ref.at[n, c, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        g_slab, sems.at[0],
-    )
-    cp2 = pltpu.make_async_copy(
-        dpad_ref.at[n, :, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-        d_slab, sems.at[1],
-    )
-    cp1.start(); cp2.start()
-    cp1.wait(); cp2.wait()
+    def window(Lq):
+        nq, xbq, ybq, cq = unravel(Lq)
+        span = (pl.ds(xbq * BX, BX + 16), pl.ds(ybq * BL, WL))
+        return [(nq, cq) + span, (nq, slice(None)) + span]
+
+    slot = _db_slabs((gpad_ref, dpad_ref), (g_slab, d_slab), sems,
+                     window, L, T)
+    dsl = d_slab[slot]
 
     def w_s(axis, o):
-        da = d_slab[axis]
+        da = dsl[axis]
         fa = jnp.floor(da)
         ta = da - fa
         if o == -1:
@@ -725,7 +822,7 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
 
     # hoisted weights (9 computes, not 81) and clamp-fold masks
     Ws = {(a, o): w_s(a, o) for a in range(3) for o in (-1, 0, 1)}
-    gs = g_slab[...]
+    gs = g_slab[slot]
     xw_lo, xw_hi = gx_w == 0, gx_w == X - 1
 
     # factored per-axis transposes (x at 27, y at 9, z at 3)
@@ -773,20 +870,22 @@ def _bwd_dI_kernel_yb(BX, BY, Y, Z, C, X,
 
 def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
                       Ipad_ref, gpad_ref, dpad_ref, dD_ref,
-                      I_slab, g_blk, d_blk, sems):
+                      I_slab, g_blk, d_blk, sems_c, sems_d):
     """Y-blocked d_disp: forward-style taps from the x/y-haloed edge-padded
     I window; channel loop inside the kernel."""
     n = pl.program_id(0)
     xb = pl.program_id(1)
-    yb = pl.program_id(2)
     WL = (BY + 2) * Z
     BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    cpd = pltpu.make_async_copy(
-        dpad_ref.at[n, :, pl.ds(xb * BX + 8, BX), pl.ds(yb * BL + Z, BL)],
-        d_blk, sems.at[2],
-    )
-    cpd.start()
+    def dwindow(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX + 8, BX),
+                pl.ds(ybq * BL + Z, BL))
+
+    dslot = _db_slabs((dpad_ref,), (d_blk,), sems_d, dwindow, L, T)
+    dsl = d_blk[dslot]
 
     blk_shape = (BX, BL)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, blk_shape, 1)
@@ -799,10 +898,8 @@ def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
         edge = z_idx_b == (Z - 1 if oz == 1 else 0)
         return jnp.where(edge, A, rolled)
 
-    cpd.wait()
-
     def wc(axis, o):
-        da = d_blk[axis]
+        da = dsl[axis]
         fa = jnp.floor(da)
         ta = da - fa
         if o == -1:
@@ -814,7 +911,7 @@ def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
         return (fa == 0.0).astype(da.dtype) * ta
 
     def dwc(axis, o):
-        da = d_blk[axis]
+        da = dsl[axis]
         fa = jnp.floor(da)
         if o == -1:
             return -(fa == -1.0).astype(da.dtype)
@@ -827,24 +924,53 @@ def _bwd_dD_kernel_yb(BX, BY, Y, Z, C, X,
     Wc = {(a, o): wc(a, o) for a in range(3) for o in (-1, 0, 1)}
     dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
 
+    # (step, channel)-granular double-buffering of the per-channel I window
+    # and g block: channel c's copies start during channel c-1 (or, for
+    # c=0, during the previous grid step's last channel); the linear
+    # (step, channel) index L*C + c selects the slot.
+    def cwins(Lq, cq):
+        nq, xbq, ybq = ids(Lq)
+        return (
+            (nq, cq, pl.ds(xbq * BX, BX + 16), pl.ds(ybq * BL, WL)),
+            (nq, cq, pl.ds(xbq * BX + 8, BX), pl.ds(ybq * BL + Z, BL)),
+        )
+
+    def cstart(Lq, cq, s):
+        wI, wg = cwins(Lq, cq)
+        pltpu.make_async_copy(Ipad_ref.at[wI], I_slab.at[s],
+                              sems_c.at[s, 0]).start()
+        pltpu.make_async_copy(gpad_ref.at[wg], g_blk.at[s],
+                              sems_c.at[s, 1]).start()
+
     acc_d = [jnp.zeros(blk_shape, dtype=jnp.float32) for _ in range(3)]
     for c in range(C):
-        cpi = pltpu.make_async_copy(
-            Ipad_ref.at[n, c, pl.ds(xb * BX, BX + 16), pl.ds(yb * BL, WL)],
-            I_slab, sems.at[0],
-        )
-        cpg = pltpu.make_async_copy(
-            gpad_ref.at[n, c, pl.ds(xb * BX + 8, BX), pl.ds(yb * BL + Z, BL)],
-            g_blk, sems.at[1],
-        )
-        cpi.start(); cpg.start()
-        cpi.wait(); cpg.wait()
-        g_ctr = g_blk[...]
+        cslot = jax.lax.rem(L * C + c, 2)
+        if not _PIPELINE_SLABS:
+            cslot = 0
+            cstart(L, c, cslot)
+        else:
+            if c == 0:
+                @pl.when(L == 0)
+                def _():
+                    cstart(L, 0, cslot)
+            if c + 1 < C:
+                cstart(L, c + 1, 1 - cslot)
+            else:
+                @pl.when(L + 1 < T)
+                def _():
+                    cstart(L + 1, 0, 1 - cslot)
+        wI, wg = cwins(L, c)
+        pltpu.make_async_copy(Ipad_ref.at[wI], I_slab.at[cslot],
+                              sems_c.at[cslot, 0]).wait()
+        pltpu.make_async_copy(gpad_ref.at[wg], g_blk.at[cslot],
+                              sems_c.at[cslot, 1]).wait()
+        Isl = I_slab[cslot]
+        g_ctr = g_blk[cslot]
         for ox in (-1, 0, 1):
             rx = (
-                pltpu.roll(I_slab[...], (-ox) % (BX + 16), 0)
+                pltpu.roll(Isl, (-ox) % (BX + 16), 0)
                 if ox != 0
-                else I_slab[...]
+                else Isl
             )
             bx_rows = rx[8 : 8 + BX, :]  # (BX, WL)
             for oy in (-1, 0, 1):
@@ -892,9 +1018,9 @@ def _warp_unit_bwd_yb(Ipad, gpad, dpad, X, Y, Z):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BX + 16, WL), jnp.float32),
-            pltpu.VMEM((3, BX + 16, WL), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, BX + 16, WL), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, WL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(gpad, dpad)
 
@@ -913,10 +1039,11 @@ def _warp_unit_bwd_yb(Ipad, gpad, dpad, X, Y, Z):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BX + 16, WL), jnp.float32),
-            pltpu.VMEM((BX, BL), jnp.float32),
-            pltpu.VMEM((3, BX, BL), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, BX + 16, WL), jnp.float32),
+            pltpu.VMEM((2, BX, BL), jnp.float32),
+            pltpu.VMEM((2, 3, BX, BL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )(Ipad, gpad, dpad)
     return dI.reshape(N, C, X, Y, Z), dD.reshape(N, 3, X, Y, Z)

@@ -93,6 +93,36 @@ def main():
         ok &= check(f"compose bwd d_p {variant} {sp}", cb[0], gc[0], 5e-5)
         ok &= check(f"compose bwd d_v {variant} {sp}", cb[1], gc[1], 5e-5)
 
+    # ---- plain warp kernels (warp_unit: tier-1 image/field warp) ------
+    # whole-Y and y-blocked variants, C=1 (atlas image) and C=3, including
+    # the batch-1 image broadcast used by the atlas warp
+    for sp, variant in cases:
+        B = 2
+        for C in (1, 3):
+            I = jnp.asarray(
+                rng.standard_normal((1, C) + sp), dtype=jnp.float32
+            )
+            d = jnp.asarray(
+                rng.uniform(-0.9, 0.9, (B, 3) + sp), dtype=jnp.float32
+            )
+            gI = jnp.asarray(
+                rng.standard_normal((B, C) + sp), dtype=jnp.float32
+            )
+
+            def warp_ref(I_, d_):
+                return sample_displacement_unit(I_, d_)
+
+            got, _ = wu._sdu_fwd(I, d)
+            ok &= check(f"warp fwd {variant} C{C} {sp}", got,
+                        warp_ref(I, d), 5e-6)
+            bwd = wu._sdu_bwd((I, d), gI)
+            _, vjp_w = jax.vjp(warp_ref, I, d)
+            gw = vjp_w(gI)
+            ok &= check(f"warp bwd d_I {variant} C{C} {sp}", bwd[0],
+                        gw[0], 5e-5)
+            ok &= check(f"warp bwd d_d {variant} C{C} {sp}", bwd[1],
+                        gw[1], 5e-5)
+
     # ---- 2D kernels (epdiff2d) ---------------------------------------
     import lagomorph_tpu.ops.pallas.epdiff2d as e2
 
