@@ -172,6 +172,47 @@ def _expmap_fast_flagged(metric, m0, dt, length, phiinv0, mommask,
     return fast, ok
 
 
+def _expmap_fast_padres(metric, m0, dt, length, phiinv0, mommask,
+                        checkpoints):
+    """The hoisted fast scan on the PADDED-RESIDENT carry
+    (ops/pallas/padres.py): phiinv lives in the kernels' padded layout for
+    the whole integration (padded once at entry, sliced once at exit), the
+    loop-invariant momentum is padded once outside the scan, and the
+    unit-regime flags are reduced inside the fused kernels — eliminating
+    the ~7 XLA pad copies and 2 flag passes per substep of the per-call
+    padded path.  Bit-identical to :func:`_expmap_fast_flagged` in its
+    regime; same ``(phiinv, ok)`` contract."""
+    from .ops.pallas import padres as pr
+
+    X, Y, Z = m0.shape[2:]
+    N = phiinv0.shape[0]
+    m0b = (
+        jnp.broadcast_to(m0, (N,) + m0.shape[1:])
+        if m0.shape[0] == 1 and N > 1
+        else m0
+    )
+    mpad = pr.pad_carry(m0b)
+    ppad0 = pr.pad_carry(phiinv0)
+
+    def fast_step(carry, _):
+        ppad, ok = carry
+        m, f1 = pr.ad_star_pr(ppad, mpad, X, Y, Z)
+        ok = jnp.logical_and(ok, jnp.min(f1) > 0.5)
+        if mommask is not None:
+            m = m * mommask
+        v = metric.sharp(m)
+        ppad, f2 = pr.compose_pr(ppad, v, -dt, X, Y, Z)
+        ok = jnp.logical_and(ok, jnp.min(f2) > 0.5)
+        return (ppad, ok), None
+
+    if checkpoints:
+        fast_step = jax.checkpoint(fast_step)
+    (ppadT, ok), _ = jax.lax.scan(
+        fast_step, (ppad0, jnp.asarray(True)), None, length=length
+    )
+    return pr.unpad_carry(ppadT, X, Y, Z), ok
+
+
 def _expmap_general(metric, m0, dt, length, phiinv0, mommask):
     """Exact general-tier integration (the fallback branch of the hoisted
     fast path); every step is rematerialized."""
@@ -198,9 +239,16 @@ def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints,
 
     ``fused``: the ``(ad_star, compose)`` kernel pair for this
     dimensionality (3D epdiff_unit or 2D epdiff2d)."""
-    fast, ok = _expmap_fast_flagged(
-        metric, m0, dt, length, phiinv0, mommask, checkpoints, fused
-    )
+    from .ops.pallas import padres as pr
+
+    if pr.supported(m0.shape, m0.dtype):
+        fast, ok = _expmap_fast_padres(
+            metric, m0, dt, length, phiinv0, mommask, checkpoints
+        )
+    else:
+        fast, ok = _expmap_fast_flagged(
+            metric, m0, dt, length, phiinv0, mommask, checkpoints, fused
+        )
 
     def general_fn(phiinv0_, m0_, _fast):
         return _expmap_general(metric, m0_, dt, length, phiinv0_, mommask)

@@ -238,21 +238,13 @@ def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
 # ---------------------------------------------------------------------------
 
 
-def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
-                          p_slab, m_slab, sems):
+def _adstar_yb_fwd_body(BX, BY, Y, Z, psl, msl):
+    """Shared y-blocked fused Ad* forward body on loaded slabs
+    ``psl``/``msl`` of shape (3, BX+16, (BY+2)*Z); returns the (3, BX, BY*Z)
+    output block.  Used by both the standard (per-call padded) kernel and
+    the padded-resident variant (ops/pallas/padres.py)."""
     WL = (BY + 2) * Z
     BL = BY * Z
-    n, xb, yb, L, T, ids = _yb_linear_step()
-
-    def window(Lq):
-        nq, xbq, ybq = ids(Lq)
-        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
-                pl.ds(ybq * BL, WL))
-
-    slot = _db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
-                     window, L, T)
-    psl = p_slab[slot]  # (3, BX+16, WL)
-    msl = m_slab[slot]
     d = psl[:, 8 : 8 + BX, Z : Z + BL]  # center block (3, BX, BL)
 
     shape = (3, BX, BL)
@@ -293,7 +285,23 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
     Jy = 0.5 * (yp - ym)
     Jz = 0.5 * (ztap(d, 1) - ztap(d, -1))
 
-    out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+    return mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+
+
+def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
+                          p_slab, m_slab, sems):
+    WL = (BY + 2) * Z
+    BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
+
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL, WL))
+
+    slot = _db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
+                     window, L, T)
+    out_ref[0] = _adstar_yb_fwd_body(BX, BY, Y, Z, p_slab[slot], m_slab[slot])
 
 
 def _fwd_blocks(X: int, Y: int, Z: int):
@@ -502,20 +510,12 @@ def _compose_fwd_kernel(BX, Y, Z, s, ppad_ref, v_ref, out_ref, p_slab, sems):
     out_ref[0] = acc
 
 
-def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
-                           p_slab, sems):
-    """y-blocked variant of the fused composition forward."""
+def _compose_yb_fwd_body(BX, BY, Y, Z, s, psl, v):
+    """Shared y-blocked fused composition forward body: ``psl`` is the
+    (3, BX+16, (BY+2)*Z) phiinv slab, ``v`` the (3, BX, BY*Z) velocity
+    block; returns the (3, BX, BY*Z) output block."""
     WL = (BY + 2) * Z
     BL = BY * Z
-    n, xb, yb, L, T, ids = _yb_linear_step()
-
-    def window(Lq):
-        nq, xbq, ybq = ids(Lq)
-        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
-                pl.ds(ybq * BL, WL))
-
-    slot = _db_slabs((ppad_ref,), (p_slab,), sems, window, L, T)
-    v = v_ref[0]  # (3, BX, BL)
     d = s * v
 
     shape = (3, BX, BL)
@@ -532,7 +532,6 @@ def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
             _em[oz] = z_idx == (Z - 1 if oz == 1 else 0)
         return jnp.where(_em[oz], A, rolled)
 
-    psl = p_slab[slot]
     W = {(a, o): _weights(d, a, o) for a in range(3) for o in (-1, 0, 1)}
     acc = s * v
     for ox in (-1, 0, 1):
@@ -546,7 +545,23 @@ def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
             for oz in (-1, 0, 1):
                 tap = ztap(ctr, oz)
                 acc = acc + (wxy * W[(2, oz)]) * tap
-    out_ref[0] = acc
+    return acc
+
+
+def _compose_fwd_kernel_yb(BX, BY, Y, Z, s, ppad_ref, v_ref, out_ref,
+                           p_slab, sems):
+    """y-blocked variant of the fused composition forward."""
+    WL = (BY + 2) * Z
+    BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
+
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL, WL))
+
+    slot = _db_slabs((ppad_ref,), (p_slab,), sems, window, L, T)
+    out_ref[0] = _compose_yb_fwd_body(BX, BY, Y, Z, s, p_slab[slot], v_ref[0])
 
 
 def _compose_fwd_dispatch(phiinv, v, s):
@@ -873,41 +888,18 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
 
 
-def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
-                          dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
-    """y-blocked fused Ad* backward: windows carry a 2-voxel y halo (the
-    inner quantities mw / d_mw are needed on a 1-halo subwindow, whose own
-    taps need one more).  Static lane slices at multiples of Z stay
-    (8,128)-aligned since Z % 128 == 0.
-
-    NOT slab-double-buffered: this kernel sits on the scoped-vmem cliff
-    (15.55M of the 16M limit at BX=32/BY=8) and the doubled slot axis
-    overflows by 2.2M (measured); even deferring only the m-slab WAIT past
-    the Jacobian/weights setup costs 0.6M of scoped headroom (16.17M,
-    overflow) — plain start-all/wait-all is the fit."""
+def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
+    """Shared y-blocked fused Ad* backward body on loaded slabs of shape
+    (3, BX+16, (BY+4)*Z) — ``psl``/``msl`` edge-padded, ``gsl``
+    zero-padded; ``xb``/``yb`` are the block indices (for the global-index
+    clamp masks).  Calls ``emit_dm(d_m0_block)`` as soon as d_m0 is final
+    (so its VMEM can be released before the divergence path — this kernel
+    sits on the scoped-vmem cliff) and returns the d_p center block
+    (3, BX, BY*Z)."""
     BXW = BX + 16
     WL2 = (BY + 4) * Z  # window lanes (2-halo)
     SL = (BY + 2) * Z   # subwindow lanes (1-halo)
     BL = BY * Z
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
-
-    win = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
-    cps = [
-        pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    psl = p_slab[...]  # (3, BXW, WL2) edge-padded (x and y)
-    msl = m_slab[...]
-    gsl = g_slab[...]  # zero-padded
 
     psub = psl[:, :, Z : Z + SL]
     gsub = gsl[:, :, Z : Z + SL]
@@ -1056,7 +1048,8 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     acc_dm = accz[0]
     for oz in (-1, 1):
         acc_dm = acc_dm + pltpu.roll(accz[oz], oz % BL, 2)
-    dm_ref[0] = acc_dm
+    emit_dm(acc_dm)
+    del acc_dm
 
     # d_p: divergence path sum_a D_a^T (g * mw_a)
     div = jnp.zeros(shape_c, dtype=psl.dtype)
@@ -1082,7 +1075,47 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
         )
 
-    dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
+    return div + jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
+                          dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
+    """y-blocked fused Ad* backward: windows carry a 2-voxel y halo (the
+    inner quantities mw / d_mw are needed on a 1-halo subwindow, whose own
+    taps need one more).  Static lane slices at multiples of Z stay
+    (8,128)-aligned since Z % 128 == 0.
+
+    NOT slab-double-buffered: this kernel sits on the scoped-vmem cliff
+    (15.55M of the 16M limit at BX=32/BY=8) and the doubled slot axis
+    overflows by 2.2M (measured); even deferring only the m-slab WAIT past
+    the Jacobian/weights setup costs 0.6M of scoped headroom (16.17M,
+    overflow) — plain start-all/wait-all is the fit."""
+    BXW = BX + 16
+    WL2 = (BY + 4) * Z
+    BL = BY * Z
+    n = pl.program_id(0)
+    xb = pl.program_id(1)
+    yb = pl.program_id(2)
+
+    win = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
+    cps = [
+        pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
+        for i, (ref, slab) in enumerate(
+            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def emit_dm(dm):
+        dm_ref[0] = dm
+
+    dp_ref[0] = _adstar_yb_bwd_body(
+        BX, BY, Y, Z, X, xb, yb, p_slab[...], m_slab[...], g_slab[...],
+        emit_dm,
+    )
 
 
 _FUSED_BWD = True
@@ -1358,25 +1391,14 @@ def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
 
 
-def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
-                           dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
-    """y-blocked fused composition backward (1-voxel y halo suffices: the
-    transpose reads W*g at center±1 only, and W needs no further taps)."""
+def _compose_yb_bwd_body(BX, BY, Y, Z, X, s, xb, yb, psl, vsl, gsl):
+    """Shared y-blocked fused composition backward body on loaded slabs of
+    shape (3, BX+16, (BY+2)*Z) — ``psl``/``vsl`` edge-padded, ``gsl``
+    zero-padded.  Returns ``(d_phiinv, d_v)`` center blocks (3, BX, BY*Z)."""
     BXW = BX + 16
     WL = (BY + 2) * Z
     BL = BY * Z
-    n, xb, yb, L, T, ids = _yb_linear_step()
-
-    def window(Lq):
-        nq, xbq, ybq = ids(Lq)
-        return (nq, slice(None), pl.ds(xbq * BX, BXW),
-                pl.ds(ybq * BL, WL))
-
-    slot = _db_slabs((ppad_ref, vpad_ref, gpad_ref),
-                     (p_slab, v_slab, g_slab), sems, window, L, T)
-    psl = p_slab[slot]
-    dsl = s * v_slab[slot]
-    gsl = g_slab[slot]
+    dsl = s * vsl
 
     shape_c = (3, BX, BL)
     lane_cb = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
@@ -1468,9 +1490,31 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
     acc_dp = accz[0]
     for oz in (-1, 1):
         acc_dp = acc_dp + pltpu.roll(accz[oz], oz % BL, 2)
-    dp_ref[0] = acc_dp
 
-    dv_ref[0] = s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
+    return acc_dp, s * g_c + s * jnp.stack([acc0, acc1, acc2], axis=0)
+
+
+def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
+                           dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
+    """y-blocked fused composition backward (1-voxel y halo suffices: the
+    transpose reads W*g at center±1 only, and W needs no further taps)."""
+    BXW = BX + 16
+    WL = (BY + 2) * Z
+    BL = BY * Z
+    n, xb, yb, L, T, ids = _yb_linear_step()
+
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BXW),
+                pl.ds(ybq * BL, WL))
+
+    slot = _db_slabs((ppad_ref, vpad_ref, gpad_ref),
+                     (p_slab, v_slab, g_slab), sems, window, L, T)
+    dp, dv = _compose_yb_bwd_body(
+        BX, BY, Y, Z, X, s, xb, yb, p_slab[slot], v_slab[slot], g_slab[slot]
+    )
+    dp_ref[0] = dp
+    dv_ref[0] = dv
 
 
 def _pick_by_cbwd(Y: int, Z: int, BX: int = 16) -> int:

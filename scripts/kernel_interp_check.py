@@ -164,6 +164,103 @@ def main():
         ok &= check(f"2d compose bwd d_p {sp2}", gc[0], gcr[0], 5e-5)
         ok &= check(f"2d compose bwd d_v {sp2}", gc[1], gcr[1], 5e-5)
 
+    # ---- padded-resident kernels (padres) ------------------------------
+    import lagomorph_tpu.ops.pallas.padres as pr
+    import lagomorph_tpu.lddmm as L
+    import lagomorph_tpu as lm
+
+    sp = (16, 96, 128)
+    B = 2
+    X, Y, Z = sp
+    p = jnp.asarray(rng.uniform(-0.9, 0.9, (B, 3) + sp), dtype=jnp.float32)
+    m0 = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
+    assert pr.supported(p.shape, p.dtype), "padres gate closed for test shape"
+
+    def ad_pr(p_, m_):
+        m, f = pr.ad_star_pr(pr.pad_carry(p_), pr.pad_carry(m_), X, Y, Z)
+        return m, f
+
+    got, f1 = ad_pr(p, m0)
+    ok &= check("padres adstar fwd", got, adstar_ref(p, m0), 5e-6)
+    okflag = float(jnp.min(f1)) > 0.5
+    print(f"{'padres adstar in-unit flag (expect 1)':46s} "
+          f"{float(jnp.min(f1)):9.2f}  {'ok' if okflag else 'FAIL'}")
+    ok &= okflag
+    _, fbad = ad_pr(p.at[0, 0, 3, 5, 7].set(1.5), m0)
+    okflag = float(jnp.min(fbad)) < 0.5
+    print(f"{'padres adstar out-of-unit flag (expect 0)':46s} "
+          f"{float(jnp.min(fbad)):9.2f}  {'ok' if okflag else 'FAIL'}")
+    ok &= okflag
+
+    _, vjp_p = jax.vjp(lambda p_, m_: ad_pr(p_, m_)[0], p, m0)
+    _, vjp_r = jax.vjp(adstar_ref, p, m0)
+    gp, gr = vjp_p(g), vjp_r(g)
+    ok &= check("padres adstar bwd d_p", gp[0], gr[0], 5e-5)
+    ok &= check("padres adstar bwd d_m0", gp[1], gr[1], 5e-5)
+
+    s = 0.2
+    v = jnp.asarray(rng.uniform(-4.0, 4.0, (B, 3) + sp), dtype=jnp.float32)
+
+    def comp_ref3(p_, v_):
+        return s * v_ + sample_displacement_unit(p_, s * v_)
+
+    outpad, f2 = pr.compose_pr(pr.pad_carry(p), v, s, X, Y, Z)
+    ok &= check("padres compose fwd", pr.unpad_carry(outpad, X, Y, Z),
+                comp_ref3(p, v), 5e-6)
+    # halo bands must be exact domain-edge replications (the next substep's
+    # kernels consume them as CLAMP extensions)
+    o5 = outpad.reshape(B, 3, X + 2 * pr.PX, Y + 2 * pr.PY, Z)
+    halo_ok = True
+    for r in range(pr.PX):
+        halo_ok &= bool(jnp.all(o5[:, :, r] == o5[:, :, pr.PX]))
+        halo_ok &= bool(jnp.all(o5[:, :, pr.PX + X + r] == o5[:, :, pr.PX + X - 1]))
+    for q in range(pr.PY):
+        halo_ok &= bool(jnp.all(o5[:, :, :, q] == o5[:, :, :, pr.PY]))
+        halo_ok &= bool(jnp.all(o5[:, :, :, pr.PY + Y + q] == o5[:, :, :, pr.PY + Y - 1]))
+    print(f"{'padres compose halo replication':46s}            "
+          f"{'ok' if halo_ok else 'FAIL'}")
+    ok &= halo_ok
+
+    def comp_pr(p_, v_):
+        return pr.unpad_carry(
+            pr.compose_pr(pr.pad_carry(p_), v_, s, X, Y, Z)[0], X, Y, Z
+        )
+
+    _, vjp_c = jax.vjp(comp_pr, p, v)
+    _, vjp_cr = jax.vjp(comp_ref3, p, v)
+    gc, gcr = vjp_c(g), vjp_cr(g)
+    ok &= check("padres compose bwd d_p", gc[0], gcr[0], 5e-5)
+    ok &= check("padres compose bwd d_v", gc[1], gcr[1], 5e-5)
+
+    # full padded-resident fast scan vs the per-call-padded flagged scan
+    metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    ms = jnp.asarray(rng.standard_normal((B, 3) + sp) * 2e-3,
+                     dtype=jnp.float32)
+    dt = 0.2
+    v0 = metric.sharp(ms)
+    ppi0 = (-dt) * v0
+    fused = L._hoisted_fused_pair(ms)
+
+    def loss_pr(m_):
+        h, okf = L._expmap_fast_padres(metric, m_, dt, 3, ppi0, None, False)
+        return jnp.sum(h * h) + 0.0 * okf.astype(jnp.float32), okf
+
+    def loss_fl(m_):
+        h, okf = L._expmap_fast_flagged(metric, m_, dt, 3, ppi0, None,
+                                        False, fused)
+        return jnp.sum(h * h) + 0.0 * okf.astype(jnp.float32), okf
+
+    (lp, okp), gp = jax.value_and_grad(loss_pr, has_aux=True)(ms)
+    (lf, okf_), gf = jax.value_and_grad(loss_fl, has_aux=True)(ms)
+    ok &= check("padres expmap loss", jnp.asarray(lp), jnp.asarray(lf),
+                1e-5 * max(1.0, abs(float(lf))))
+    ok &= check("padres expmap grad", gp, gf, 5e-5)
+    flag_ok = bool(okp) == bool(okf_)
+    print(f"{'padres expmap flag agreement':46s}            "
+          f"{'ok' if flag_ok else 'FAIL'}")
+    ok &= flag_ok
+
     # MXU-DFT fluid kernels vs a complex-fft oracle (tolerance = the
     # documented 3-pass bf16 envelope, scaled to O(100) coefficients)
     import lagomorph_tpu.ops.pallas.fft_unit as fu

@@ -297,6 +297,81 @@ def _quick_rest(rng, res, B, sp, ok):
         print(f"quick compose bwd {name} maxerr: {err:.3e}")
         ok &= err < 1e-4
 
+    # padded-resident kernels (padres): bit-exact vs the per-call-padded
+    # fused kernels at the y-blocked bench geometry, plus the halo contract
+    import lagomorph_tpu.ops.pallas.padres as pr
+
+    assert pr.supported(pb.shape, pb.dtype), "padres gate closed at yb shape"
+    Xb, Yb, Zb = spb
+
+    def ad_pr(p, m):
+        return pr.ad_star_pr(pr.pad_carry(p), pr.pad_carry(m), Xb, Yb, Zb)
+
+    mpr, fpr = jax.jit(ad_pr)(pb, mb)
+    err = float(jnp.abs(mpr - eu.ad_star_unit_pallas(pb, mb)).max())
+    print(f"quick padres adstar fwd vs fused maxerr: {err:.3e} "
+          f"(flag {float(jnp.min(fpr)):.0f})")
+    ok &= err == 0.0
+    _, vjp_pr = jax.vjp(lambda p, m: ad_pr(p, m)[0], pb, mb)
+    _, vjp_fu = jax.vjp(eu.ad_star_unit_pallas, pb, mb)
+    gpr, gfu = vjp_pr(gb), vjp_fu(gb)
+    for name, a, b in (("d_p", gpr[0], gfu[0]), ("d_m0", gpr[1], gfu[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick padres adstar bwd {name} vs fused maxerr: {err:.3e}")
+        ok &= err == 0.0
+
+    def comp_pr(p, v):
+        outp, f = pr.compose_pr(pr.pad_carry(p), v, 0.2, Xb, Yb, Zb)
+        return pr.unpad_carry(outp, Xb, Yb, Zb), outp
+
+    cpr, cpad = jax.jit(comp_pr)(pb, mb)
+    err = float(jnp.abs(cpr - eu.compose_disp_vel_pallas(pb, mb, 0.2)).max())
+    print(f"quick padres compose fwd vs fused maxerr: {err:.3e}")
+    ok &= err == 0.0
+    # halo bands must be exact edge replications (next substep's CLAMP taps)
+    o5 = cpad.reshape(1, 3, Xb + 2 * pr.PX, Yb + 2 * pr.PY, Zb)
+    halo_err = max(
+        float(jnp.abs(o5[:, :, r] - o5[:, :, pr.PX]).max())
+        for r in range(pr.PX)
+    ) + max(
+        float(jnp.abs(o5[:, :, :, q] - o5[:, :, :, pr.PY]).max())
+        for q in range(pr.PY)
+    ) + max(
+        float(jnp.abs(o5[:, :, :, pr.PY + Yb + q]
+                      - o5[:, :, :, pr.PY + Yb - 1]).max())
+        for q in range(pr.PY)
+    ) + max(
+        float(jnp.abs(o5[:, :, pr.PX + Xb + r]
+                      - o5[:, :, pr.PX + Xb - 1]).max())
+        for r in range(pr.PX)
+    )
+    print(f"quick padres compose halo replication err: {halo_err:.3e}")
+    ok &= halo_err == 0.0
+    _, vjp_cpr = jax.vjp(lambda p, v: comp_pr(p, v)[0], pb, mb)
+    _, vjp_cfu = jax.vjp(
+        lambda p, v: eu.compose_disp_vel_pallas(p, v, 0.2), pb, mb
+    )
+    gcp, gcf = vjp_cpr(gb), vjp_cfu(gb)
+    for name, a, b in (("d_p", gcp[0], gcf[0]), ("d_v", gcp[1], gcf[1])):
+        err = float(jnp.abs(a - b).max())
+        print(f"quick padres compose bwd {name} vs fused maxerr: {err:.3e}")
+        ok &= err == 0.0
+
+    # hoisted padres expmap at the yb geometry == static unit path
+    metric_b = lm.FluidMetric([0.05, 0.0, 0.05])
+    mbs = jnp.asarray(
+        rng.standard_normal((1, 3) + spb) * 1e-6, dtype=jnp.float32
+    )
+    h_auto = jax.jit(lambda m: lm.expmap(metric_b, m, num_steps=3))(mbs)
+    h_ref = jax.jit(
+        lambda m: lm.expmap(metric_b, m, num_steps=3,
+                            transport_mode="unit", compose_mode="unit")
+    )(mbs)
+    scale = max(float(jnp.abs(h_ref).max()), 1e-30)
+    err = float(jnp.abs(h_auto - h_ref).max()) / scale
+    print(f"quick padres hoisted-in-regime relerr: {err:.3e}")
+    ok &= err < 1e-5
+
     # hoisted dispatch: fused fast scan == static unit path in regime
     metric = lm.FluidMetric([0.05, 0.0, 0.05])
     msmall = jnp.asarray(rng.standard_normal((B, 3) + sp) * 1e-6, dtype=jnp.float32)
