@@ -15,6 +15,16 @@ but it includes ~15-20 ms/step of dev-relay dispatch artifact.  The extra
 `steps_per_sec_scan` field is the honest on-device chip rate: K steps inside
 ONE `lax.scan` dispatch, so relay latency amortizes away.
 
+Crash resilience (round-4, after BENCH_r03 died rc=1 on a dead TPU worker):
+the orchestrating process NEVER imports jax.  The kernel gate and every
+bench attempt run in fresh subprocesses; a relay/worker death
+(`UNAVAILABLE: TPU worker process crashed`) is retried with a new process
+and backoff, an OOM (`RESOURCE_EXHAUSTED`) falls back to
+checkpoints-then-halve-batch, and if every attempt dies this still prints a
+JSON line with "value": null plus a diagnostic instead of exiting nonzero.
+Each attempt takes the median of 3 interleaved loop/scan samples to damp
+the documented ±25% relay drift (BASELINE.md).
+
 Before timing, a quick subset of scripts/tpu_checks.py runs in a subprocess
 (TPU backend only; LM_SKIP_CHECKS=1 skips): a Pallas kernel regression fails
 the bench loudly instead of shipping a silently-wrong number.  After timing,
@@ -23,52 +33,40 @@ fallback) was the path measured.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
-import numpy as np
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULT_MARK = "LM_BENCH_RESULT "
+
+# stderr signatures of a dead/unreachable backend: retry in a NEW process
+TRANSIENT_SIGNS = (
+    "UNAVAILABLE",
+    "worker process crashed",
+    "crashed or restarted",
+    "DEADLINE_EXCEEDED",
+    "Connection reset",
+    "Socket closed",
+    "failed to connect",
+)
+OOM_SIGNS = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM")
 
 
-def run_kernel_checks():
-    """Run the quick Pallas bit-exactness gate (scripts/tpu_checks.py --quick)
-    in a subprocess.  Fail LOUDLY on check failure; warn and continue on
-    timeout (the bench itself still runs)."""
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "tpu_checks.py")
-    try:
-        r = subprocess.run(
-            [sys.executable, script, "--quick"],
-            timeout=1500, capture_output=True, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        sys.stderr.write("WARNING: tpu_checks --quick timed out; benching "
-                         "without the kernel gate\n")
-        return
-    if r.returncode != 0:
-        sys.stderr.write(r.stdout[-4000:] + r.stderr[-2000:])
-        sys.stderr.write("FATAL: Pallas kernel checks FAILED — refusing to "
-                         "produce a bench number from broken kernels\n")
-        sys.exit(1)
-    sys.stderr.write("tpu_checks --quick: ALL OK\n")
-
+# --------------------------------------------------------------------------
+# worker: runs in a fresh subprocess, imports jax, times the step
+# --------------------------------------------------------------------------
 
 def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None,
-          checkpoints=None, scan_iters=None):
+          checkpoints=False, scan_iters=None, samples=3):
     if iters is None:
         iters = 4 if res >= 128 else 10
-    if warmup is None:
-        warmup = 1 if res >= 128 else 2
     if scan_iters is None:
         scan_iters = 8 if res >= 128 else 20
-    if checkpoints is None:
-        # round 1 needed rematerialized shooting at 256^3; the round-2 fused
-        # kernels store only their inputs as residuals, so the full tape
-        # fits and is ~1.2x faster (2.34 vs 1.94 steps/s at 256^3 b1) —
-        # main() still falls back to checkpoints=True on OOM
-        checkpoints = False
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import lagomorph_tpu as lm
     from lagomorph_tpu.lddmm import make_lddmm_atlas_step, shooting_regime_ok
 
@@ -102,34 +100,46 @@ def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None,
     m, gI, loss, reg = jstep(I, m, img)
     _ = float(loss)
 
-    t0 = time.perf_counter()
-    for _i in range(iters):
-        m, gI, loss, reg = jstep(I, m, img)
-    _ = float(loss)  # forces completion of the whole chain
-    t1 = time.perf_counter()
-    steps_per_sec = iters / (t1 - t0)
+    def k_steps(I, m, img):
+        def body(m, _):
+            m, _gI, loss, _reg = step(I, m, img)
+            return m, loss
+        m, losses = jax.lax.scan(body, m, None, length=scan_iters)
+        return m, losses[-1]
 
-    # honest chip rate: K chained steps inside ONE dispatch (lax.scan), so
-    # the ~15-20 ms/dispatch relay artifact amortizes to ~nothing
-    sps_scan = None
+    jscan = None
     try:
-        def k_steps(I, m, img):
-            def body(m, _):
-                m, _gI, loss, _reg = step(I, m, img)
-                return m, loss
-            m, losses = jax.lax.scan(body, m, None, length=scan_iters)
-            return m, losses[-1]
-
         jscan = jax.jit(k_steps, donate_argnums=(1,))
-        m, loss = jscan(I, m, img)     # compile + warm the exact executable
+        m, loss = jscan(I, m, img)   # compile + warm the exact executable
         _ = float(loss)
-        t0 = time.perf_counter()
-        m, loss = jscan(I, m, img)     # fresh inputs: m is the prior output
-        _ = float(loss)
-        t1 = time.perf_counter()
-        sps_scan = scan_iters / (t1 - t0)
     except Exception as e:  # pragma: no cover - program-size/memory limits
+        jscan = None
         sys.stderr.write(f"scan-amortized variant unavailable: {str(e)[:200]}\n")
+
+    # interleaved loop/scan samples; median damps relay drift (BASELINE.md:
+    # single-run numbers are ±25% on this backend).  Inputs chain throughout
+    # (m is always the prior output) so runtime memoization cannot shortcut.
+    loop_sps, scan_sps = [], []
+    for _s in range(samples):
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            m, gI, loss, reg = jstep(I, m, img)
+        _ = float(loss)  # forces completion of the whole chain
+        t1 = time.perf_counter()
+        loop_sps.append(iters / (t1 - t0))
+        if jscan is not None:
+            t0 = time.perf_counter()
+            m, loss = jscan(I, m, img)
+            _ = float(loss)
+            t1 = time.perf_counter()
+            scan_sps.append(scan_iters / (t1 - t0))
+
+    steps_per_sec = statistics.median(loop_sps)
+    sps_scan = statistics.median(scan_sps) if scan_sps else None
+    sys.stderr.write(
+        f"samples loop={['%.2f' % x for x in loop_sps]} "
+        f"scan={['%.2f' % x for x in scan_sps]}\n"
+    )
 
     # regime probe: the timed loop must have run the fused fast path, not
     # the silent general-tier fallback (VERDICT r2 #6)
@@ -147,48 +157,170 @@ def bench(res=128, batch=4, integration_steps=5, iters=None, warmup=None,
     return steps_per_sec, sps_scan, batch
 
 
+def worker_main(argv):
+    res = int(argv[0])
+    batch = int(argv[1])
+    checkpoints = argv[2] == "1"
+    sps, sps_scan, batch = bench(res=res, batch=batch, checkpoints=checkpoints)
+    # marker line on stdout; the orchestrator parses everything after it
+    print(RESULT_MARK + json.dumps(
+        {"sps": sps, "sps_scan": sps_scan, "batch": batch}
+    ))
+
+
+# --------------------------------------------------------------------------
+# orchestrator: jax-free; gate + attempts each in fresh subprocesses
+# --------------------------------------------------------------------------
+
+def _classify(tail):
+    if any(s in tail for s in OOM_SIGNS):
+        return "oom"
+    if any(s in tail for s in TRANSIENT_SIGNS):
+        return "transient"
+    return "other"
+
+
+def _run_sub(args, timeout):
+    try:
+        r = subprocess.run(args, timeout=timeout, capture_output=True,
+                           text=True)
+        return r.returncode, r.stdout, r.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        err = e.stderr or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        return -9, out, err + "\n[orchestrator] attempt timed out"
+
+
+def detect_backend():
+    rc, out, err = _run_sub(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        timeout=300,
+    )
+    if rc == 0:
+        return out.strip().splitlines()[-1] if out.strip() else "unknown"
+    return "unreachable"
+
+
+def run_kernel_checks():
+    """Run the quick Pallas bit-exactness gate (scripts/tpu_checks.py --quick)
+    in a subprocess.  Fail LOUDLY on a genuine check failure; retry once on a
+    transient worker death; warn and continue on timeout."""
+    script = os.path.join(HERE, "scripts", "tpu_checks.py")
+    for attempt in range(2):
+        rc, out, err = _run_sub([sys.executable, script, "--quick"],
+                                timeout=1500)
+        if rc == 0:
+            sys.stderr.write("tpu_checks --quick: ALL OK\n")
+            return
+        tail = (out[-4000:] + err[-4000:])
+        kind = _classify(tail)
+        if rc == -9:
+            sys.stderr.write("WARNING: tpu_checks --quick timed out; benching "
+                             "without the kernel gate\n")
+            return
+        if kind == "transient" and attempt == 0:
+            sys.stderr.write("kernel gate hit a transient backend death; "
+                             "retrying in 30s with a fresh process\n")
+            time.sleep(30)
+            continue
+        sys.stderr.write(tail)
+        sys.stderr.write("FATAL: Pallas kernel checks FAILED — refusing to "
+                         "produce a bench number from broken kernels\n")
+        sys.exit(1)
+
+
+def emit(res, batch, sps, sps_scan, diagnostic=None):
+    rec = {
+        "metric": f"3d_lddmm_atlas_steps_per_sec_chip_{res}cubed_b{batch}",
+        "value": round(sps, 4) if sps is not None else None,
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "steps_per_sec_scan": (
+            round(sps_scan, 4) if sps_scan is not None else None
+        ),
+    }
+    if diagnostic:
+        rec["diagnostic"] = diagnostic
+    print(json.dumps(rec))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker_main(sys.argv[2:])
+        return
+
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
-    want_checks = os.environ.get("LM_SKIP_CHECKS", "0") != "1"
-    if want_checks:
-        import jax
+    backend = detect_backend()
+    sys.stderr.write(f"backend: {backend}\n")
 
-        if jax.default_backend() == "tpu":
-            run_kernel_checks()
+    if backend == "tpu" and os.environ.get("LM_SKIP_CHECKS", "0") != "1":
+        run_kernel_checks()
 
-    sps = sps_scan = None
     checkpoints = False
+    transient_left = 4
+    backoff = [10, 30, 60, 120]
+    failures = []
     while True:
-        try:
-            sps, sps_scan, batch = bench(res=res, batch=batch,
-                                         checkpoints=checkpoints)
-            break
-        except Exception as e:  # fall back: rematerialize, then halve batch
-            sys.stderr.write(
-                f"bench failed at batch={batch} "
-                f"checkpoints={checkpoints}: {str(e)[:300]}\n"
-            )
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(res), str(batch), "1" if checkpoints else "0"],
+            timeout=2700,
+        )
+        sys.stderr.write(err[-3000:])
+        if rc == 0:
+            for line in out.splitlines():
+                if line.startswith(RESULT_MARK):
+                    d = json.loads(line[len(RESULT_MARK):])
+                    emit(res, d["batch"], d["sps"], d["sps_scan"])
+                    return
+            rc, err = 1, err + "\n[orchestrator] worker printed no result"
+        tail = out[-2000:] + err[-4000:]
+        kind = _classify(tail)
+        last = tail.strip().splitlines()[-1][:200] if tail.strip() else ""
+        failures.append(
+            f"batch={batch} ckpt={checkpoints} rc={rc} {kind}: {last}")
+        sys.stderr.write(
+            f"bench attempt failed (rc={rc}, {kind}) at batch={batch} "
+            f"checkpoints={checkpoints}\n"
+        )
+        if kind == "transient" or rc == -9:
+            if transient_left > 0:
+                wait = backoff[min(4 - transient_left, len(backoff) - 1)]
+                transient_left -= 1
+                sys.stderr.write(
+                    f"transient backend death — retrying same config in "
+                    f"{wait}s with a fresh process "
+                    f"({transient_left} retries left)\n"
+                )
+                time.sleep(wait)
+                continue
+        elif kind == "oom":
             if not checkpoints:
                 checkpoints = True
-            elif batch > 1:
+                sys.stderr.write("OOM — retrying with rematerialized "
+                                 "shooting (checkpoints=True)\n")
+                continue
+            if batch > 1:
                 batch //= 2
-            else:
-                raise
-    print(
-        json.dumps(
-            {
-                "metric": f"3d_lddmm_atlas_steps_per_sec_chip_{res}cubed_b{batch}",
-                "value": round(sps, 4),
-                "unit": "steps/sec",
-                "vs_baseline": None,
-                "steps_per_sec_scan": (
-                    round(sps_scan, 4) if sps_scan is not None else None
-                ),
-            }
-        )
-    )
+                sys.stderr.write(f"OOM — halving batch to {batch}\n")
+                continue
+        else:  # unknown failure: one fresh-process retry, then give up
+            if transient_left == 4:
+                transient_left = 1
+                sys.stderr.write("unknown failure — one fresh-process "
+                                 "retry in 15s\n")
+                time.sleep(15)
+                continue
+        # exhausted: still emit a parseable record (rc 0), never crash out
+        emit(res, batch, None, None,
+             diagnostic="; ".join(failures[-4:])[:800])
+        return
 
 
 if __name__ == "__main__":

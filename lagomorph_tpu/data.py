@@ -463,71 +463,70 @@ def batch_average(batches, dim=0, progress_bar=True):
     return avg
 
 
+def _item_parts(item):
+    """View one dataset item as a tuple of numpy arrays (single-array items
+    become 1-tuples)."""
+    parts = item if isinstance(item, (list, tuple)) else (item,)
+    return tuple(np.asarray(p) for p in parts)
+
+
+def _sizing_plan(dataset, key):
+    """Shared sizing logic for the dataset writers: normalize ``key`` to a
+    tuple, probe element 0 for per-key shape/dtype prototypes, and validate
+    the key count against the item arity."""
+    keys = tuple(key) if isinstance(key, (list, tuple)) else (key,)
+    protos = _item_parts(dataset[0])
+    if len(protos) != len(keys):
+        raise Exception(
+            f"Dataset returns tuple with {len(protos)} entries, "
+            f"but only {len(keys)} keys given"
+        )
+    return keys, protos
+
+
+def _fill_arrays(dataset, arrays, desc):
+    """Stream every item of ``dataset`` into pre-allocated per-key arrays
+    (h5py or zarr — anything supporting ``arr[i, ...] = value``)."""
+    for i in tqdm(range(len(dataset)), desc):
+        for sink, part in zip(arrays, _item_parts(dataset[i])):
+            sink[i, ...] = part
+
+
 def write_dataset_h5(dataset, h5path, key="images"):
-    """Write a dataset in the standard lzf-chunked HDF5 format (reference
-    data.py:339-387)."""
-    if not isinstance(key, (list, tuple)):
-        key = (key,)
+    """Write a dataset in the standard per-subject-chunked, lzf-compressed
+    HDF5 layout (same on-disk schema as reference data.py:339-387)."""
+    keys, protos = _sizing_plan(dataset, key)
     with h5py.File(h5path, "w") as f:
-        ds0 = dataset[0]
-        if not isinstance(ds0, (list, tuple)):
-            ds0 = (ds0,)
-        if len(ds0) != len(key):
-            raise Exception(
-                f"Dataset returns tuple with {len(ds0)} entries, "
-                f"but only {len(key)} keys given"
+        arrays = [
+            f.create_dataset(
+                k,
+                shape=(len(dataset), *p.shape),
+                dtype=p.dtype,
+                chunks=(1, *p.shape),
+                compression="lzf",
             )
-        ds = []
-        for d, k in zip(ds0, key):
-            d = np.asarray(d)
-            ds.append(
-                f.create_dataset(
-                    k,
-                    shape=(len(dataset), *d.shape),
-                    dtype=d.dtype,
-                    chunks=(1, *d.shape),
-                    compression="lzf",
-                )
-            )
-        for i in tqdm(range(len(dataset))):
-            di = dataset[i]
-            if not isinstance(di, (list, tuple)):
-                di = (di,)
-            for I, dsi in zip(di, ds):
-                dsi[i, ...] = np.asarray(I)
+            for k, p in zip(keys, protos)
+        ]
+        _fill_arrays(dataset, arrays, desc=f"writing {os.path.basename(h5path)}")
 
 
 def write_dataset_zarr(dataset, path, key="images"):
-    """Write a dataset as Zarr (reference data.py:389-436)."""
+    """Write a dataset as a Zarr directory store (same layout as reference
+    data.py:389-436)."""
     try:
         import zarr
     except ImportError:
         print("Please install the zarr library to use write_dataset_zarr.")
         raise
 
-    if not isinstance(key, tuple):
-        key = (key,)
-    store = zarr.DirectoryStore(path)
-    root = zarr.group(store=store, overwrite=True)
-    ds0 = dataset[0]
-    if not isinstance(ds0, tuple):
-        ds0 = (ds0,)
-    if len(ds0) != len(key):
-        raise Exception(
-            f"Dataset returns tuple with {len(ds0)} entries, "
-            f"but only {len(key)} keys given"
-        )
-    ds = []
-    for d, k in zip(ds0, key):
-        d = np.asarray(d)
-        ds.append(
-            root.zeros("/" + k, shape=(len(dataset), *d.shape), chunks=(1, *d.shape), dtype=d.dtype)
-        )
-    for i, di in enumerate(tqdm(dataset)):
-        if not isinstance(di, (tuple, list)):
-            di = [di]
-        for I, dsi in zip(di, ds):
-            dsi[i, ...] = np.asarray(I)
+    root = zarr.group(store=zarr.DirectoryStore(path), overwrite=True)
+    keys, protos = _sizing_plan(dataset, key)
+    arrays = [
+        root.zeros("/" + k, shape=(len(dataset), *p.shape),
+                   chunks=(1, *p.shape), dtype=p.dtype)
+        for k, p in zip(keys, protos)
+    ]
+    _fill_arrays(dataset, arrays, desc=f"writing {os.path.basename(path)}")
 
 
 def write_dataset(dataset, path, **kwargs):
@@ -548,279 +547,248 @@ def load_dataset(path, **kwargs):
     raise RuntimeError(f'Could not determine file type from extension "{ext}"')
 
 
+def parse_slice_spec(spec: str):
+    """Turn a comma/colon slice string like ``"5:-5,0:127,::2"`` into a list
+    of (start, stop, step) triples (empty fields -> None; a lone number is a
+    stop bound, matching the reference CLI's crop contract)."""
+    triples = []
+    for field in spec.split(","):
+        bounds = [int(b) if b else None for b in field.split(":")]
+        if len(bounds) == 1:
+            bounds = [None, bounds[0]]
+        bounds += [None] * (3 - len(bounds))
+        triples.append(tuple(bounds[:3]))
+    return triples
+
+
+# Declarative CLI flag specs: (flag, argparse kwargs).  Flag names, defaults,
+# and semantics are the reference CLI's contract (data.py verbs); the wording
+# and plumbing are ours.
+_FLAG = {
+    "h5key": ("--h5key", dict(default="images",
+                              help="HDF5 dataset name to read (and write)")),
+    "key": ("--key", dict(default="images",
+                          help="dataset name to read (and write)")),
+    "h5keys": ("--h5keys", dict(
+        default="images,labels",
+        help="comma-separated dataset names carried through the split")),
+    "copy_other_keys": ("--copy_other_keys", dict(
+        action="store_true",
+        help="also copy every other key of the input file, unchanged")),
+    "random_seed": ("--random_seed", dict(
+        default=0, type=int, help="seed for the pseudo-random split")),
+    "stratify_key": ("--stratify_key", dict(
+        default=None, help="Key to use for stratification labels")),
+}
+
+
 class _Tool(Tool):
     """Generic dataset utilities not specific to one class of registration methods"""
 
     module_name = "lagomorph_tpu data"
     subcommands = ["average", "crop", "downscale", "numexpr", "split", "splitcv"]
 
+    # ---- shared plumbing -------------------------------------------------
+
+    def _verb_args(self, verb, positionals, flags):
+        """Build a verb parser from declarative specs and parse argv[2:]."""
+        import sys
+
+        parser = self.new_parser(verb)
+        for name, kw in positionals:
+            parser.add_argument(name, **kw)
+        for f in flags:
+            if isinstance(f, str):
+                f = _FLAG[f]
+            names, kw = f
+            if isinstance(names, str):
+                names = (names,)
+            parser.add_argument(*names, **kw)
+        return parser.parse_args(sys.argv[2:])
+
     @staticmethod
     def copy_other_keys(infile, outfile, key):
+        keep = (key,) if isinstance(key, str) else tuple(key)
         with h5py.File(infile, "r") as fi, h5py.File(outfile, "a") as fo:
             for k in tqdm(fi.keys(), desc="other keys"):
-                if (isinstance(key, str) and k != key) or (
-                    isinstance(key, (list, tuple)) and k not in key
-                ):
+                if k not in keep:
                     fi.copy(k, fo)
+
+    def _emit(self, transformed, out_path, key, args, zarr_ok=False):
+        """Write a (possibly wrapped) dataset, stamp provenance on the
+        primary key, and optionally mirror the remaining input keys."""
+        if zarr_ok:
+            write_dataset(transformed, out_path, key=key)
+        else:
+            write_dataset_h5(transformed, out_path, key=key)
+        first = key if isinstance(key, str) else key[0]
+        with h5py.File(out_path, "a") as f:
+            self._stamp_dataset(f[first], args)
+        if getattr(args, "copy_other_keys", False):
+            self.copy_other_keys(args.input, out_path, key)
+
+    @staticmethod
+    def _grouping_labels(path, label_key):
+        """Load (and flatten trailing singleton of) stratification labels."""
+        if label_key is None:
+            return None
+        with h5py.File(path, "r") as f:
+            labels = np.array(f[label_key])
+        if labels.ndim == 2 and labels.shape[1] == 1:
+            labels = labels[:, 0]
+        elif labels.ndim > 2:
+            raise Exception(
+                f"Dimension of dataset {label_key} cannot be more than two"
+            )
+        return labels
+
+    # ---- element-wise filter verbs (load -> wrap -> write) --------------
+
+    _IN_OUT = (
+        ("input", dict(type=str, help="Path to input image HDF5 file")),
+        ("output", dict(type=str, help="Path to output HDF5 file")),
+    )
 
     def average(self):
         """Average a dataset inside an HDF5 file in the first dimension"""
-        import sys
-
-        parser = self.new_parser("average")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument("output", type=str, help="Path to output HDF5 file")
-        parser.add_argument(
-            "--h5key", default="images", help="Name of dataset in input HDF5 file"
+        args = self._verb_args(
+            "average",
+            self._IN_OUT,
+            [
+                ("--h5key", dict(default="images",
+                                 help="HDF5 dataset name to average over")),
+                ("--output_h5key", dict(
+                    default="average_image",
+                    help="dataset name for the mean image in the output")),
+                ("--batch_size", dict(default=50, type=int,
+                                      help="subjects per streaming batch")),
+            ],
         )
-        parser.add_argument(
-            "--output_h5key",
-            default="average_image",
-            help="Name of dataset in output HDF5 file",
-        )
-        parser.add_argument("--batch_size", default=50, type=int, help="Batch size")
-        args = parser.parse_args(sys.argv[2:])
-
-        dataset = H5Dataset(args.input, key=args.h5key)
-        Iav = batch_average(batch_iterator(dataset, args.batch_size))
+        batches = batch_iterator(H5Dataset(args.input, key=args.h5key),
+                                 args.batch_size)
+        mean_img = batch_average(batches)
         with h5py.File(args.output, "w") as f:
-            ds = f.create_dataset(args.output_h5key, data=Iav[None])
-            self._stamp_dataset(ds, args)
+            self._stamp_dataset(
+                f.create_dataset(args.output_h5key, data=mean_img[None]), args
+            )
 
     def downscale(self):
         """Downscale an image dataset using average pooling"""
-        import sys
-
-        parser = self.new_parser("downscale")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument("output", type=str, help="Path to output HDF5 file")
-        parser.add_argument(
-            "--key", default="images", help="Name of dataset in input and HDF5 files"
+        args = self._verb_args(
+            "downscale",
+            self._IN_OUT,
+            ["key",
+             ("--scale", dict(default=2, type=int,
+                              help="width of the average-pooling window")),
+             "copy_other_keys"],
         )
-        parser.add_argument(
-            "--scale", default=2, type=int, help="Width of average pooling window"
-        )
-        parser.add_argument(
-            "--copy_other_keys",
-            action="store_true",
-            help="Copy all other keys from input file into output verbatim",
-        )
-        args = parser.parse_args(sys.argv[2:])
-
-        dataset = load_dataset(args.input, key=args.key)
-        dsds = DownscaledDataset(dataset, scale=args.scale)
-        write_dataset(dsds, args.output, key=args.key)
-        with h5py.File(args.output, "a") as f:
-            self._stamp_dataset(f[args.key], args)
-        if args.copy_other_keys:
-            self.copy_other_keys(args.input, args.output, args.key)
+        src = load_dataset(args.input, key=args.key)
+        self._emit(DownscaledDataset(src, scale=args.scale),
+                   args.output, args.key, args, zarr_ok=True)
 
     def crop(self):
         """Crop all the images in an image dataset"""
-        import sys
-
-        parser = self.new_parser("crop")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument("output", type=str, help="Path to output HDF5 file")
-        parser.add_argument(
-            "--h5key", default="images", help="Name of dataset in input and HDF5 files"
+        args = self._verb_args(
+            "crop",
+            self._IN_OUT,
+            ["h5key",
+             ("--slices", dict(
+                 required=True,
+                 help='per-axis pixel ranges, comma- and colon-separated '
+                      '(e.g. "5:-5,0:127,0:256")')),
+             "copy_other_keys"],
         )
-        parser.add_argument(
-            "--slices",
-            required=True,
-            help='Ranges of pixels in each dimension, comma- and colon-separated (e.g. "5:-5,0:127,0:256")',
-        )
-        parser.add_argument(
-            "--copy_other_keys",
-            action="store_true",
-            help="Copy all other keys from input file into output verbatim",
-        )
-        args = parser.parse_args(sys.argv[2:])
-
-        dataset = H5Dataset(args.input, key=args.h5key)
-
-        slices = []
-        for slicestr in args.slices.split(","):
-            step = start = stop = None
-            parts = slicestr.split(":")
-            if len(parts) == 1:
-                stop = int(parts[0])
-            elif len(parts) >= 2:
-                start = int(parts[0]) if parts[0] else None
-                stop = int(parts[1]) if parts[1] else None
-                if len(parts) == 3 and parts[2]:
-                    step = int(parts[2])
-            slices.append((start, stop, step))
-
-        dsds = CropDataset(dataset, slices=slices)
-        write_dataset_h5(dsds, args.output, key=args.h5key)
-        with h5py.File(args.output, "a") as f:
-            self._stamp_dataset(f[args.h5key], args)
-        if args.copy_other_keys:
-            self.copy_other_keys(args.input, args.output, args.h5key)
+        src = H5Dataset(args.input, key=args.h5key)
+        cropped = CropDataset(src, slices=parse_slice_spec(args.slices))
+        self._emit(cropped, args.output, args.h5key, args)
 
     def numexpr(self):
         """Apply a numeric expression to an image dataset using numexpr"""
-        import sys
+        args = self._verb_args(
+            "numexpr",
+            self._IN_OUT,
+            ["h5key",
+             (("--expression", "-e"), dict(
+                 required=True,
+                 help='expression in the variable x (e.g. "x/255")')),
+             "copy_other_keys"],
+        )
+        src = H5Dataset(args.input, key=args.h5key)
+        self._emit(NumexprDataset(src, expression=args.expression),
+                   args.output, args.h5key, args)
 
-        parser = self.new_parser("numexpr")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument("output", type=str, help="Path to output HDF5 file")
-        parser.add_argument(
-            "--h5key", default="images", help="Name of dataset in input and HDF5 files"
-        )
-        parser.add_argument(
-            "--expression",
-            "-e",
-            required=True,
-            help='Expression to evaluate, in terms of variable x. (e.g. "x/255")',
-        )
-        parser.add_argument(
-            "--copy_other_keys",
-            action="store_true",
-            help="Copy all other keys from input file into output verbatim",
-        )
-        args = parser.parse_args(sys.argv[2:])
+    # ---- subset-extraction verbs -----------------------------------------
 
-        dataset = H5Dataset(args.input, key=args.h5key)
-        dsds = NumexprDataset(dataset, expression=args.expression)
-        write_dataset_h5(dsds, args.output, key=args.h5key)
-        with h5py.File(args.output, "a") as f:
-            self._stamp_dataset(f[args.h5key], args)
-        if args.copy_other_keys:
-            self.copy_other_keys(args.input, args.output, args.h5key)
+    def _emit_subset(self, dataset, indices, out_path, keys, args):
+        """Write the selected subjects of a multi-key dataset + provenance."""
+        self._emit(SubsetDataset(dataset, indices), out_path, keys, args)
 
     def split(self):
         """Split a dataset into training and testing (or validation)"""
-        import sys
-
-        parser = self.new_parser("split")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument(
-            "train_output", type=str, help="Path to output HDF5 file (training)"
+        args = self._verb_args(
+            "split",
+            (
+                ("input", dict(type=str, help="Path to input image HDF5 file")),
+                ("train_output", dict(
+                    type=str, help="Path to output HDF5 file (training)")),
+                ("test_output", dict(
+                    type=str, help="Path to output HDF5 file (testing)")),
+            ),
+            ["h5keys", "copy_other_keys", "random_seed",
+             ("--test_size", dict(
+                 default=0.25,
+                 help="fraction of subjects if <= 1, else a subject count")),
+             "stratify_key"],
         )
-        parser.add_argument(
-            "test_output", type=str, help="Path to output HDF5 file (testing)"
-        )
-        parser.add_argument(
-            "--h5keys",
-            default="images,labels",
-            help="Name of datasets in input and HDF5 files (comma-separated)",
-        )
-        parser.add_argument(
-            "--copy_other_keys",
-            action="store_true",
-            help="Copy all other keys from input file into output verbatim",
-        )
-        parser.add_argument(
-            "--random_seed", default=0, type=int, help="Random seed for the split"
-        )
-        parser.add_argument(
-            "--test_size",
-            default=0.25,
-            help="If <= 1, proportion of dataset; otherwise number of samples.",
-        )
-        parser.add_argument(
-            "--stratify_key", default=None, help="Key to use for stratification labels"
-        )
-        args = parser.parse_args(sys.argv[2:])
-
         keys = args.h5keys.split(",")
+        dataset = H5Dataset(args.input, key=keys)
+        labels = self._grouping_labels(args.input, args.stratify_key)
+
+        # a value > 1 means an absolute subject count, not a fraction
         test_size = float(args.test_size)
         if test_size > 1:
             test_size = int(test_size)
 
-        dataset = H5Dataset(args.input, key=keys)
-
-        stratify = None
-        if args.stratify_key is not None:
-            with h5py.File(args.input, "r") as f:
-                stratify = np.array(f[args.stratify_key])
-            if len(stratify.shape) == 2 and stratify.shape[1] == 1:
-                stratify = stratify.squeeze(1)
-            elif len(stratify.shape) > 2:
-                raise Exception(
-                    f"Dimension of dataset {args.stratify_key} cannot be more than two"
-                )
-
         from sklearn.model_selection import train_test_split
 
-        ix_train, ix_test = train_test_split(
+        train_ix, test_ix = train_test_split(
             range(len(dataset)),
             test_size=test_size,
             random_state=args.random_seed,
-            stratify=stratify,
+            stratify=labels,
         )
-
-        for ix, out in ((ix_train, args.train_output), (ix_test, args.test_output)):
-            ds = SubsetDataset(dataset, ix)
-            write_dataset_h5(ds, out, key=keys)
-            with h5py.File(out, "a") as f:
-                self._stamp_dataset(f[keys[0]], args)
-            if args.copy_other_keys:
-                self.copy_other_keys(args.input, out, keys)
+        self._emit_subset(dataset, train_ix, args.train_output, keys, args)
+        self._emit_subset(dataset, test_ix, args.test_output, keys, args)
 
     def splitcv(self):
         """Split a dataset into training and testing sets for cross-validation"""
-        import sys
-
-        parser = self.new_parser("splitcv")
-        parser.add_argument("input", type=str, help="Path to input image HDF5 file")
-        parser.add_argument(
-            "output_format",
-            type=str,
-            help="Path to output HDF5 file (use placeholders {fold} and {split})",
+        args = self._verb_args(
+            "splitcv",
+            (
+                ("input", dict(type=str, help="Path to input image HDF5 file")),
+                ("output_format", dict(
+                    type=str,
+                    help="Path to output HDF5 file "
+                         "(use placeholders {fold} and {split})")),
+            ),
+            ["h5keys", "copy_other_keys", "random_seed",
+             ("--num_folds", dict(default=2, type=int,
+                                  help="number of cross-validation folds")),
+             "stratify_key"],
         )
-        parser.add_argument(
-            "--h5keys",
-            default="images,labels",
-            help="Name of datasets in input and HDF5 files (comma-separated)",
-        )
-        parser.add_argument(
-            "--copy_other_keys",
-            action="store_true",
-            help="Copy all other keys from input file into output verbatim",
-        )
-        parser.add_argument(
-            "--random_seed", default=0, type=int, help="Random seed for the split"
-        )
-        parser.add_argument(
-            "--num_folds", default=2, type=int, help="Number of cross-validation folds"
-        )
-        parser.add_argument(
-            "--stratify_key", default=None, help="Key to use for stratification labels"
-        )
-        args = parser.parse_args(sys.argv[2:])
-
         keys = args.h5keys.split(",")
         dataset = H5Dataset(args.input, key=keys)
-
-        stratify = None
-        if args.stratify_key is not None:
-            with h5py.File(args.input, "r") as f:
-                stratify = np.array(f[args.stratify_key])
-            if len(stratify.shape) == 2 and stratify.shape[1] == 1:
-                stratify = stratify.squeeze(1)
+        labels = self._grouping_labels(args.input, args.stratify_key)
 
         from sklearn.model_selection import KFold, StratifiedKFold
 
-        if stratify is None:
-            kf = KFold(
-                n_splits=args.num_folds, shuffle=True, random_state=args.random_seed
-            )
-            splits = kf.split(np.arange(len(dataset)))
-        else:
-            kf = StratifiedKFold(
-                n_splits=args.num_folds, shuffle=True, random_state=args.random_seed
-            )
-            splits = kf.split(np.arange(len(dataset)), stratify)
+        cv_cls = KFold if labels is None else StratifiedKFold
+        cv = cv_cls(n_splits=args.num_folds, shuffle=True,
+                    random_state=args.random_seed)
+        folds = cv.split(np.arange(len(dataset)),
+                         *(() if labels is None else (labels,)))
 
-        for i, (ix_train, ix_test) in enumerate(splits):
-            for ix, split in ((ix_train, "train"), (ix_test, "test")):
-                name = args.output_format.format(fold=i, split=split)
-                ds = SubsetDataset(dataset, ix)
-                write_dataset_h5(ds, name, key=keys)
-                with h5py.File(name, "a") as f:
-                    self._stamp_dataset(f[keys[0]], args)
-                if args.copy_other_keys:
-                    self.copy_other_keys(args.input, name, keys)
+        for fold, (train_ix, test_ix) in enumerate(folds):
+            for name, indices in (("train", train_ix), ("test", test_ix)):
+                out = args.output_format.format(fold=fold, split=name)
+                self._emit_subset(dataset, indices, out, keys, args)
