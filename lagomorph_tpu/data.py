@@ -28,6 +28,7 @@ __all__ = [
     "PreCachedDataset",
     "LazyCachedDataset",
     "CachedDataLoader",
+    "ProcessPrefetcher",
     "batch_iterator",
     "dataset_length",
     "batch_average",
@@ -433,6 +434,196 @@ class CachedDataLoader:
         # .npy layout makes the cache random-access, unlike the reference's
         # replay-only loader)
         return np.load(self.filenames[i])
+
+
+class ProcessPrefetcher:
+    """Process-parallel batch prefetcher: forked worker processes pull batch
+    indices off a task queue, materialize ``loader[i]`` (the disk read +
+    decode — the GIL-bound half of staging), and publish the bytes through a
+    ring of shared-memory slots.  The TPU-native analogue of the reference's
+    multi-worker DataLoader with pinned staging (reference lddmm.py:171-177):
+    workers own the I/O, the parent keeps the accelerator handle and does
+    only the host->device put.
+
+    ``loader`` must be random-access (``len()`` / ``[i] -> np.ndarray``) and
+    fork-inheritable (``CachedDataLoader``, ``NativeBatchCache``, a list of
+    arrays, any Dataset-backed loader without live device handles).  Workers
+    are forked lazily on the first ``submit`` and run ONLY numpy — no jax is
+    touched in the children, so the remote-TPU client state of the parent is
+    never shared or re-initialized.
+
+    Protocol: ``submit(i)`` queues batch ``i`` into a free slot (blocking on
+    slot reuse once ``depth`` submissions are in flight); ``get(i)`` blocks
+    until the bytes land and returns a parent-owned copy (the slot is
+    recycled immediately).  ``get`` on an unsubmitted index falls back to a
+    direct in-process read, so callers may prefetch opportunistically.
+    Results larger than the slot (first-batch probe) or worker exceptions
+    travel through the result queue instead (pickled / re-raised)."""
+
+    def __init__(self, loader, workers=2, depth=None):
+        import multiprocessing as mp
+
+        if not hasattr(mp, "get_context"):
+            raise RuntimeError("multiprocessing contexts unavailable")
+        try:
+            self._ctx = mp.get_context("fork")
+        except ValueError as e:  # pragma: no cover - non-POSIX
+            raise RuntimeError(
+                "ProcessPrefetcher requires the fork start method"
+            ) from e
+        import threading
+
+        self.loader = loader
+        self.workers = max(1, int(workers))
+        self.depth = int(depth) if depth else self.workers + 1
+        # submit() and get() may run on different parent threads (main loop
+        # vs staging pool): one lock serializes ring/queue bookkeeping
+        self._lock = threading.Lock()
+        self._started = False
+        self._pending = {}  # batch index -> slot
+        self._ready = {}  # batch index -> result-queue payload
+        self._free = []
+        self._procs = []
+        self._shm = []
+
+    @staticmethod
+    def _worker(loader, task_q, done_q, shm_names, slot_bytes):
+        from multiprocessing import shared_memory
+
+        segs = [shared_memory.SharedMemory(name=n) for n in shm_names]
+        try:
+            while True:
+                msg = task_q.get()
+                if msg is None:
+                    return
+                i, slot = msg
+                try:
+                    arr = np.ascontiguousarray(np.asarray(loader[i]))
+                    if arr.nbytes <= slot_bytes:
+                        view = np.ndarray(
+                            arr.shape, arr.dtype, buffer=segs[slot].buf
+                        )
+                        view[...] = arr
+                        done_q.put((i, slot, arr.shape, arr.dtype.str, None))
+                    else:  # oversize: ship through the queue
+                        done_q.put((i, slot, None, None, arr))
+                except Exception as e:  # surface in the parent's get()
+                    done_q.put((i, slot, None, None, e))
+        finally:
+            for s in segs:
+                s.close()
+
+    def _start(self):
+        from multiprocessing import shared_memory
+
+        probe = np.ascontiguousarray(np.asarray(self.loader[0]))
+        self._slot_bytes = max(probe.nbytes, 1)
+        self._task_q = self._ctx.Queue()
+        self._done_q = self._ctx.Queue()
+        for k in range(self.depth):
+            seg = shared_memory.SharedMemory(
+                create=True, size=self._slot_bytes
+            )
+            self._shm.append(seg)
+            self._free.append(k)
+        names = [s.name for s in self._shm]
+        for _ in range(self.workers):
+            p = self._ctx.Process(
+                target=self._worker,
+                args=(self.loader, self._task_q, self._done_q, names,
+                      self._slot_bytes),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+        self._started = True
+
+    def _drain_one(self, block=True):
+        import queue as _q
+
+        try:
+            i, slot, shape, dt, extra = self._done_q.get(block=block)
+        except _q.Empty:
+            return False
+        self._ready[i] = (slot, shape, dt, extra)
+        self._pending.pop(i, None)
+        return True
+
+    def submit(self, i):
+        """Queue batch ``i`` for background materialization (idempotent for
+        in-flight/ready indices).  Blocks only when all slots are in use."""
+        i = int(i)
+        with self._lock:
+            if i in self._pending or i in self._ready:
+                return
+            if not self._started:
+                self._start()
+            while not self._free:
+                if not self._pending:
+                    # every slot is parked under a ready-but-unfetched
+                    # batch; draining would block forever w/ nothing in
+                    # flight
+                    raise RuntimeError(
+                        "ProcessPrefetcher ring full of unfetched batches: "
+                        "call get() before submitting more (or raise depth)"
+                    )
+                self._drain_one(block=True)
+            slot = self._free.pop()
+            self._pending[i] = slot
+            self._task_q.put((i, slot))
+
+    def get(self, i):
+        """Return batch ``i`` as a parent-owned array, blocking on the
+        workers if needed.  Unsubmitted indices read directly in-process."""
+        i = int(i)
+        with self._lock:
+            if i not in self._pending and i not in self._ready:
+                direct = True
+            else:
+                direct = False
+                while i not in self._ready:
+                    self._drain_one(block=True)
+                slot, shape, dt, extra = self._ready.pop(i)
+                if extra is None:
+                    view = np.ndarray(
+                        shape, np.dtype(dt), buffer=self._shm[slot].buf
+                    )
+                    out = np.array(view)  # copy out, then recycle the slot
+                self._free.append(slot)
+        if direct:
+            return np.asarray(self.loader[i])
+        if extra is not None:
+            if isinstance(extra, Exception):
+                raise extra
+            return np.asarray(extra)  # oversize payload
+        return out
+
+    def close(self):
+        if not self._started:
+            return
+        for _ in self._procs:
+            self._task_q.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():  # pragma: no cover - stuck worker
+                p.terminate()
+                p.join(timeout=5)
+        for s in self._shm:
+            try:
+                s.close()
+                s.unlink()
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        self._procs, self._shm, self._free = [], [], []
+        self._pending.clear()
+        self._ready.clear()
+        self._started = False
+
+    def __del__(self):  # pragma: no cover - best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def batch_average(batches, dim=0, progress_bar=True):

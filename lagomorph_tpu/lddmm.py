@@ -385,6 +385,8 @@ def make_lddmm_atlas_step(
     momentum_preconditioning=False,
     checkpoints=False,
     image_shape=None,
+    spatial_mesh=None,
+    spatial_axis="data",
 ):
     """Build the jitted per-minibatch atlas update.
 
@@ -393,13 +395,28 @@ def make_lddmm_atlas_step(
     (summed over the batch — accumulated by the caller, reference
     lddmm.py:287-298).  Everything inside is pure; the caller jits it with
     shardings/donation.
-    """
 
-    def loss_fn(m, I, img, mask):
-        return _lddmm_loss(
-            I, m, img, metric, reg_weight, integration_steps, checkpoints,
-            image_shape=image_shape, mask=mask,
-        )
+    ``spatial_mesh``: when given, the whole loss (shooting + warp + MSE)
+    runs X-SHARDED over ``spatial_axis`` of that mesh via the halo
+    shard_map formulation (:func:`..parallel.sharded_atlas_loss`) — the
+    >HBM-volume mode (SURVEY §5 spatial sharding).  Requires momenta and
+    images on the same grid (no regrid path)."""
+
+    if spatial_mesh is not None:
+        from .parallel import sharded_atlas_loss
+
+        def loss_fn(m, I, img, mask):
+            return sharded_atlas_loss(
+                metric, I, m, img, spatial_mesh,
+                reg_weight=reg_weight, num_steps=integration_steps,
+                axis_name=spatial_axis, checkpoints=checkpoints, mask=mask,
+            )
+    else:
+        def loss_fn(m, I, img, mask):
+            return _lddmm_loss(
+                I, m, img, metric, reg_weight, integration_steps, checkpoints,
+                image_shape=image_shape, mask=mask,
+            )
 
     def step(I, m, img, mask=None):
         loss = reg = None
@@ -439,11 +456,13 @@ def lddmm_atlas(
     checkpoint_format=None,
     gradient_checkpointing=False,
     loader_workers=0,
+    loader_mode="thread",
     dataloader_cache=None,
     keep_data_on_device=False,
     image_dtype=None,
     ms=None,
     mesh=None,
+    spatial_shard=False,
     progress_bar=True,
     dtype=np.float32,
 ):
@@ -469,10 +488,12 @@ def lddmm_atlas(
         checkpoint_format=checkpoint_format,
         gradient_checkpointing=gradient_checkpointing,
         loader_workers=loader_workers,
+        loader_mode=loader_mode,
         dataloader_cache=dataloader_cache,
         keep_data_on_device=keep_data_on_device,
         image_dtype=image_dtype,
         mesh=mesh,
+        spatial_shard=spatial_shard,
         progress_bar=progress_bar,
         dtype=dtype,
     )
@@ -521,6 +542,7 @@ class LDDMMAtlasBuilder:
         checkpoint_format=None,
         gradient_checkpointing=False,
         loader_workers=0,
+        loader_mode="thread",
         dataloader_cache=None,
         keep_data_on_device=False,
         image_dtype=None,
@@ -528,6 +550,7 @@ class LDDMMAtlasBuilder:
         world_size=1,
         rank=0,
         mesh=None,
+        spatial_shard=False,
         progress_bar=True,
         dtype=np.float32,
     ):
@@ -695,8 +718,54 @@ class LDDMMAtlasBuilder:
             momentum_preconditioning=self.momentum_preconditioning,
             checkpoints=self.gradient_checkpointing,
             image_shape=tuple(self.I.shape[2:]),
+            spatial_mesh=self.mesh if self.spatial_shard else None,
         )
-        if self.mesh is not None:
+        if self.spatial_shard:
+            # >HBM-volume mode: the X axis of images/momenta/atlas is
+            # sharded over the mesh's 'data' axis (halo shard_map shooting,
+            # parallel/sharded_epdiff.py); batch stays process-local
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.mesh is None:
+                raise ValueError(
+                    "spatial_shard=True requires a mesh (pass mesh=get_mesh())"
+                )
+            if self._world > 1:
+                raise ValueError(
+                    "spatial_shard is single-process (one controller over "
+                    "the mesh); use multi-process DP without spatial_shard"
+                )
+            sp = tuple(self.I.shape[2:])
+            if tuple(self.momentum_shape) != sp:
+                raise ValueError(
+                    "spatial_shard requires momenta and images on the same "
+                    f"grid (got {tuple(self.momentum_shape)} vs {sp})"
+                )
+            n = self.mesh.shape["data"]
+            if len(sp) != 3 or sp[0] % n or sp[1] % n:
+                raise ValueError(
+                    f"spatial_shard needs 3D X/Y divisible by the mesh "
+                    f"size {n} (got {sp})"
+                )
+            spat_s = NamedSharding(self.mesh, PartitionSpec(None, None, "data"))
+            repl_s = NamedSharding(self.mesh, PartitionSpec())
+            self._step = jax.jit(
+                step,
+                in_shardings=(spat_s, spat_s, spat_s, repl_s),
+                out_shardings=(spat_s, spat_s, repl_s, repl_s),
+                donate_argnums=(1,),
+            )
+            self.I = jax.device_put(self.I, spat_s)
+
+            def put(x):
+                x = np.asarray(x)
+                return jax.device_put(
+                    x, spat_s if x.ndim >= 5 else repl_s
+                )
+
+            self._put = put
+            self._pad_multiple = 1
+        elif self.mesh is not None:
             from .parallel import data_sharding, replicated_sharding
 
             batch_s = data_sharding(self.mesh)
@@ -849,7 +918,12 @@ class LDDMMAtlasBuilder:
             """(img, m) local host arrays; all-dummy when this process's
             shard has fewer batches than the global iteration count."""
             if i < len(self._batches):
-                return np.asarray(self._batches[i]), np.asarray(self.ms[i])
+                pf = getattr(self, "_img_prefetch", None)
+                img = (
+                    pf.get(i) if pf is not None
+                    else np.asarray(self._batches[i])
+                )
+                return img, np.asarray(self.ms[i])
             sp = tuple(self.I.shape[2:])
             dim = len(sp)
             img = np.zeros((0, self.I.shape[1]) + sp, dtype=self.dtype)
@@ -908,12 +982,28 @@ class LDDMMAtlasBuilder:
         (``keep_data_on_device``)."""
         if not self.loader_workers or self.keep_data_on_device:
             return None
+        if (
+            self.loader_mode == "process"
+            and getattr(self, "_img_prefetch", None) is None
+        ):
+            from .data import ProcessPrefetcher
+
+            # worker PROCESSES own the batch disk reads (GIL-free, the
+            # reference's multi-worker DataLoader role); the staging thread
+            # below overlaps the remaining pad/cast + host->device put
+            self._img_prefetch = ProcessPrefetcher(
+                self._batches, workers=int(self.loader_workers)
+            )
         if getattr(self, "_stage_pool", None) is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._stage_pool = ThreadPoolExecutor(
                 max_workers=int(self.loader_workers)
             )
+        if getattr(self, "_img_prefetch", None) is not None and (
+            batch_index < len(self._batches)
+        ):
+            self._img_prefetch.submit(batch_index)
         return self._stage_pool.submit(self._staged, batch_index)
 
     def iteration(self, batch_index, staged=None):
@@ -998,12 +1088,29 @@ class LDDMMAtlasBuilder:
         epbar = range(self.num_epochs)
         if self.progress_bar:
             epbar = tqdm(epbar)
-        for self._epoch in epbar:
-            epoch_loss, epoch_reg_term = self.epoch()
-            self.epoch_losses.append(epoch_loss)
-            self.epoch_reg_terms.append(epoch_reg_term)
-            if self.progress_bar:
-                epbar.set_postfix(epoch_loss=epoch_loss, epoch_reg=epoch_reg_term)
+        try:
+            for self._epoch in epbar:
+                epoch_loss, epoch_reg_term = self.epoch()
+                self.epoch_losses.append(epoch_loss)
+                self.epoch_reg_terms.append(epoch_reg_term)
+                if self.progress_bar:
+                    epbar.set_postfix(
+                        epoch_loss=epoch_loss, epoch_reg=epoch_reg_term
+                    )
+        finally:
+            self.close_loaders()
+
+    def close_loaders(self):
+        """Shut down the staging thread pool and loader worker processes
+        (idempotent; training can resume — they respawn on demand)."""
+        pool = getattr(self, "_stage_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=True)
+            self._stage_pool = None
+        pf = getattr(self, "_img_prefetch", None)
+        if pf is not None:
+            pf.close()
+            self._img_prefetch = None
 
 
 class _Tool(Tool):
@@ -1051,6 +1158,15 @@ class _Tool(Tool):
             "3.5x SLOWER over this dev environment's serial TPU relay "
             "(transfers contend with compute RPCs) — enable on hardware "
             "with concurrent DMA engines",
+        )
+        dg.add_argument(
+            "--loader_mode",
+            default="thread",
+            choices=["thread", "process"],
+            help="How loader_workers prefetch: 'thread' overlaps staging in "
+            "threads; 'process' adds forked worker PROCESSES that own the "
+            "batch disk reads through shared memory (GIL-free, the "
+            "reference's multi-worker DataLoader role)",
         )
         dg.add_argument(
             "--dataloader_cache",
@@ -1120,6 +1236,13 @@ class _Tool(Tool):
             "on-device image memory and transfer bytes; compute stays f32)",
         )
         ag.add_argument(
+            "--spatial_shard",
+            action="store_true",
+            help="Shard the X axis of images/momenta/atlas over the device "
+            "mesh (halo shard_map shooting + distributed fluid FFT) — for "
+            "volumes too large for one chip's HBM; batch stays local",
+        )
+        ag.add_argument(
             "--reg_weight", default=1e-1, type=float, help="Deformation regularization"
         )
         ag.add_argument(
@@ -1165,11 +1288,13 @@ class _Tool(Tool):
             keep_data_on_device=args.keep_data_on_device,
             image_dtype=args.image_dtype,
             loader_workers=args.loader_workers,
+            loader_mode=args.loader_mode,
             dataloader_cache=args.dataloader_cache,
             metric=metric,
             learning_rate_pose=args.learning_rate_m,
             learning_rate_image=args.learning_rate_I,
             mesh=self.mesh,
+            spatial_shard=args.spatial_shard,
             progress_bar=self.rank == 0,
         )
 

@@ -160,12 +160,15 @@ def sharded_atlas_loss(
     num_steps=5,
     axis_name="data",
     checkpoints=False,
+    mask=None,
 ):
     """Spatially-sharded LDDMM atlas loss: shooting + atlas warp + MSE +
     regularity, everything X-sharded end to end (``I``/``img``: ``(.., 1, X,
     Y, Z)`` image fields sharded like the momenta).  Same loss math as
     :func:`lagomorph_tpu.lddmm._lddmm_loss` restricted to matching
-    momentum/image grids; returns ``(loss, reg_term)`` scalars.
+    momentum/image grids; returns ``(loss, reg_term)`` scalars.  ``mask``:
+    optional (B,) 0/1 subject weights (padded-subject masking, same contract
+    as ``_lddmm_loss``); replicated across shards.
 
     The atlas warp needs the warped coordinates' image taps, which reach at
     most 1 voxel for unit-regime phiinv plus its own displacement — the
@@ -180,7 +183,7 @@ def sharded_atlas_loss(
     Xl = X // n
     halo_img = min(int(num_steps), Xl)
 
-    def body(I_loc, m_loc, img_loc):
+    def body(I_loc, m_loc, img_loc, mask_loc):
         sharp = partial(
             _local_apply, params=params, inverse=True,
             axis_name=axis_name, n_shards=n, Y=Y, Z=Z,
@@ -213,11 +216,18 @@ def sharded_atlas_loss(
         coords = idg[None] + phiinv
         coords = coords.at[:, 0].add(float(halo_img))
         Idef = sample_linear(I_wide, coords)
-        sq = jnp.sum((Idef - img_loc) ** 2)
-        vm = jnp.sum(v0 * m_loc)
-        sq = jax.lax.psum(sq, axis_name)
-        vm = jax.lax.psum(vm, axis_name)
-        numel = B * float(X * Y * Z)
+        red = tuple(range(1, img_loc.ndim))
+        sq = jnp.sum((Idef - img_loc) ** 2, axis=red)   # per-subject
+        vm = jnp.sum(v0 * m_loc, axis=tuple(range(1, m_loc.ndim)))
+        if mask_loc is None:
+            count = float(B)
+        else:
+            sq = sq * mask_loc
+            vm = vm * mask_loc
+            count = jnp.sum(mask_loc)  # replicated: no psum
+        sq = jax.lax.psum(jnp.sum(sq), axis_name)
+        vm = jax.lax.psum(jnp.sum(vm), axis_name)
+        numel = count * float(X * Y * Z)
         reg = reg_weight * vm / numel
         return sq / numel + reg, reg
 
@@ -226,8 +236,16 @@ def sharded_atlas_loss(
     cons = lambda x: jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, spec)
     )
+    in_specs = (spec, spec, spec, P())
+    args = (cons(I), cons(m), cons(img), mask)
+    if mask is None:
+        body_fn = lambda I_, m_, img_: body(I_, m_, img_, None)
+        in_specs = in_specs[:3]
+        args = args[:3]
+    else:
+        body_fn = body
     loss, reg = shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec),
+        body_fn, mesh=mesh, in_specs=in_specs,
         out_specs=(P(), P()), check_rep=False,
-    )(cons(I), cons(m), cons(img))
+    )(*args)
     return loss, reg

