@@ -30,6 +30,7 @@ envelope).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -149,7 +150,8 @@ from .warp_unit import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 
-def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab, sems):
+def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab,
+                       sems, mw_ref=None):
     YZ = Y * Z
     (n, xb), L, T, unravel = _grid_linear_step(2)
 
@@ -204,32 +206,49 @@ def _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab, se
     Jy = 0.5 * (roll_clamp(d, 1, Z, y_idx, Y) - roll_clamp(d, -1, Z, y_idx, Y))
     Jz = 0.5 * (roll_clamp(d, 1, 1, z_idx, Z) - roll_clamp(d, -1, 1, z_idx, Z))
 
+    if mw_ref is not None:
+        mw_ref[0] = mw
     out_ref[0] = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
 
 
-def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
-    """ppad/mpad: (N, 3, X+16, Y*Z) x-edge-padded, flattened lanes."""
+def _adstar_fwd_kernel_mw(BX, Y, Z, ppad_ref, mpad_ref, out_ref, mw_ref,
+                          p_slab, m_slab, sems):
+    _adstar_fwd_kernel(BX, Y, Z, ppad_ref, mpad_ref, out_ref, p_slab, m_slab,
+                       sems, mw_ref=mw_ref)
+
+
+def _adstar_fwd_wholey(ppad, mpad, X, Y, Z, want_mw=False):
+    """ppad/mpad: (N, 3, X+16, Y*Z) x-edge-padded, flattened lanes.  With
+    ``want_mw`` also returns the warped momentum (the fused warp's
+    intermediate, saved as a VJP residual so the backward need not
+    re-enumerate the 27-tap warp)."""
     N = ppad.shape[0]
     BX = wu._pick_block(X, Y * Z)
+    ospec = pl.BlockSpec(
+        (1, 3, BX, Y * Z),
+        lambda n, xb: (n, 0, xb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    oshape = jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype)
     out = pl.pallas_call(
-        partial(_adstar_fwd_kernel, BX, Y, Z),
-        out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
+        partial(_adstar_fwd_kernel_mw if want_mw else _adstar_fwd_kernel,
+                BX, Y, Z),
+        out_shape=[oshape, oshape] if want_mw else oshape,
         grid=(N, X // BX),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 3, BX, Y * Z),
-            lambda n, xb: (n, 0, xb, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[ospec, ospec] if want_mw else ospec,
         scratch_shapes=[
             pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
             pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
+    if want_mw:
+        out, mw = out
+        return out.reshape(N, 3, X, Y, Z), mw.reshape(N, 3, X, Y, Z)
     return out.reshape(N, 3, X, Y, Z)
 
 
@@ -238,11 +257,13 @@ def _adstar_fwd_wholey(ppad, mpad, X, Y, Z):
 # ---------------------------------------------------------------------------
 
 
-def _adstar_yb_fwd_body(BX, BY, Y, Z, psl, msl):
+def _adstar_yb_fwd_body(BX, BY, Y, Z, psl, msl, want_mw=False):
     """Shared y-blocked fused Ad* forward body on loaded slabs
     ``psl``/``msl`` of shape (3, BX+16, (BY+2)*Z); returns the (3, BX, BY*Z)
-    output block.  Used by both the standard (per-call padded) kernel and
-    the padded-resident variant (ops/pallas/padres.py)."""
+    output block — with ``want_mw``, ``(out, mw)`` where ``mw`` is the
+    warped-momentum intermediate (saved as a VJP residual).  Used by both
+    the standard (per-call padded) kernel and the padded-resident variant
+    (ops/pallas/padres.py)."""
     WL = (BY + 2) * Z
     BL = BY * Z
     d = psl[:, 8 : 8 + BX, Z : Z + BL]  # center block (3, BX, BL)
@@ -285,11 +306,12 @@ def _adstar_yb_fwd_body(BX, BY, Y, Z, psl, msl):
     Jy = 0.5 * (yp - ym)
     Jz = 0.5 * (ztap(d, 1) - ztap(d, -1))
 
-    return mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+    out = mw + Jx * mw[0][None] + Jy * mw[1][None] + Jz * mw[2][None]
+    return (out, mw) if want_mw else out
 
 
 def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
-                          p_slab, m_slab, sems):
+                          p_slab, m_slab, sems, mw_ref=None):
     WL = (BY + 2) * Z
     BL = BY * Z
     n, xb, yb, L, T, ids = _yb_linear_step()
@@ -301,7 +323,20 @@ def _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
 
     slot = _db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
                      window, L, T)
-    out_ref[0] = _adstar_yb_fwd_body(BX, BY, Y, Z, p_slab[slot], m_slab[slot])
+    if mw_ref is None:
+        out_ref[0] = _adstar_yb_fwd_body(BX, BY, Y, Z, p_slab[slot],
+                                         m_slab[slot])
+    else:
+        out, mw = _adstar_yb_fwd_body(BX, BY, Y, Z, p_slab[slot],
+                                      m_slab[slot], want_mw=True)
+        out_ref[0] = out
+        mw_ref[0] = mw
+
+
+def _adstar_fwd_kernel_yb_mw(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
+                             mw_ref, p_slab, m_slab, sems):
+    _adstar_fwd_kernel_yb(BX, BY, Y, Z, ppad_ref, mpad_ref, out_ref,
+                          p_slab, m_slab, sems, mw_ref=mw_ref)
 
 
 def _fwd_blocks(X: int, Y: int, Z: int):
@@ -321,30 +356,36 @@ def _fwd_blocks(X: int, Y: int, Z: int):
     return None
 
 
-def _adstar_fwd_yb(ppad, mpad, X, Y, Z):
+def _adstar_fwd_yb(ppad, mpad, X, Y, Z, want_mw=False):
     """ppad/mpad: (N, 3, X+16, (Y+2)*Z) x/y-edge-padded, flattened lanes."""
     N = ppad.shape[0]
     BX, BY = _fwd_blocks(X, Y, Z)
     BL = BY * Z
+    ospec = pl.BlockSpec(
+        (1, 3, BX, BL),
+        lambda n, xb, yb: (n, 0, xb, yb),
+        memory_space=pltpu.VMEM,
+    )
+    oshape = jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype)
     out = pl.pallas_call(
-        partial(_adstar_fwd_kernel_yb, BX, BY, Y, Z),
-        out_shape=jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
+        partial(_adstar_fwd_kernel_yb_mw if want_mw else _adstar_fwd_kernel_yb,
+                BX, BY, Y, Z),
+        out_shape=[oshape, oshape] if want_mw else oshape,
         grid=(N, X // BX, Y // BY),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 3, BX, BL),
-            lambda n, xb, yb: (n, 0, xb, yb),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[ospec, ospec] if want_mw else ospec,
         scratch_shapes=[
             pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
             pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
+    if want_mw:
+        out, mw = out
+        return out.reshape(N, 3, X, Y, Z), mw.reshape(N, 3, X, Y, Z)
     return out.reshape(N, 3, X, Y, Z)
 
 
@@ -359,13 +400,21 @@ def ad_star_unit_pallas(phiinv, m0):
     (every component of ``phiinv`` in [-1, 1)); bit-identical to
     ``jtv(phiinv, warp(m0, phiinv), displacement=True)`` on the composed
     XLA/warp path."""
-    out, _ = _adstar_fwd(phiinv, m0)
-    return out
+    N = phiinv.shape[0]
+    m0b = (
+        jnp.broadcast_to(m0, (N,) + m0.shape[1:])
+        if m0.shape[0] == 1 and N > 1
+        else m0
+    )
+    # primal (non-differentiating) call: skip the mw residual write
+    return _adstar_fwd_dispatch(phiinv, m0b)
 
 
-def _adstar_fwd_dispatch(phiinv, m0b):
+def _adstar_fwd_dispatch(phiinv, m0b, want_mw=False):
     """Run the fused forward on (N,3,X,Y,Z) inputs with matching batches,
-    choosing whole-Y / y-blocked / padded geometry."""
+    choosing whole-Y / y-blocked / padded geometry.  With ``want_mw``
+    returns ``(out, mw)`` — the warped momentum residual consumed by the
+    fused backward (so it need not re-enumerate the 27-tap warp)."""
     N = phiinv.shape[0]
     X, Y, Z = phiinv.shape[2:]
     shp = m0b.shape
@@ -375,7 +424,7 @@ def _adstar_fwd_dispatch(phiinv, m0b):
         return _adstar_fwd_wholey(
             ppad.reshape(N, 3, X + 16, Y * Z),
             mpad.reshape(N, 3, X + 16, Y * Z),
-            X, Y, Z,
+            X, Y, Z, want_mw=want_mw,
         )
     if wu.yblocked_supported(shp, phiinv.shape, phiinv.dtype):
         widths = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
@@ -384,12 +433,15 @@ def _adstar_fwd_dispatch(phiinv, m0b):
         return _adstar_fwd_yb(
             ppad.reshape(N, 3, X + 16, (Y + 2) * Z),
             mpad.reshape(N, 3, X + 16, (Y + 2) * Z),
-            X, Y, Z,
+            X, Y, Z, want_mw=want_mw,
         )
     # padded-coverage path (bit-exact; see warp_unit._pad_amounts)
     px, py, pz, _ = wu._pad_amounts(X, Y, Z)
     ppp, mpp = wu._pad_fields([phiinv, m0b], px, py, pz, "edge")
-    outp = _adstar_fwd_dispatch(ppp, mpp)
+    outp = _adstar_fwd_dispatch(ppp, mpp, want_mw=want_mw)
+    if want_mw:
+        outp, mwp = outp
+        return outp[:, :, :X, :Y, :Z], mwp[:, :, :X, :Y, :Z]
     return outp[:, :, :X, :Y, :Z]
 
 
@@ -400,7 +452,8 @@ def _adstar_fwd(phiinv, m0):
         if m0.shape[0] == 1 and N > 1
         else m0
     )
-    return _adstar_fwd_dispatch(phiinv, m0b), (phiinv, m0)
+    out, mw = _adstar_fwd_dispatch(phiinv, m0b, want_mw=True)
+    return out, (phiinv, m0, mw)
 
 
 def _adstar_bwd(res, g):
@@ -410,32 +463,34 @@ def _adstar_bwd(res, g):
       d_m0   = warp-transpose of d_mw    — fused Pallas dI kernel
       d_p    = weight-gradient path       — fused Pallas dD kernel
              + sum_a D_a^T (g * mw_a)     — jtv adjoint (XLA stencils)
-    """
+
+    The warped momentum ``mw`` arrives as a forward residual (round 4): the
+    backward no longer re-enumerates the 27-tap warp (the largest VPU block
+    of the round-3 fused kernel), and the composed fallback skips two warp
+    forward executions (the explicit mw call + jax.vjp's fwd re-run)."""
     from ..diff import (
         jacobian_times_vectorfield,
         jacobian_times_vectorfield_adjoint,
     )
 
-    phiinv, m0 = res
+    phiinv, m0, mw = res
     N = phiinv.shape[0]
     broadcasting = m0.shape[0] == 1 and N > 1
     m0b = jnp.broadcast_to(m0, (N,) + m0.shape[1:]) if broadcasting else m0
 
     if _FUSED_BWD:
-        fused = _adstar_bwd_fused_dispatch(phiinv, m0b, g)
+        fused = _adstar_bwd_fused_dispatch(phiinv, m0b, g, mw)
         if fused is not None:
             d_p, d_m0 = fused
             if broadcasting:
                 d_m0 = jnp.sum(d_m0, axis=0, keepdims=True)
             return d_p, d_m0
 
-    # recompute the warped momentum (fused forward warp kernel)
-    mw = wu.sample_displacement_unit_pallas(m0b, phiinv)
     d_mw = jacobian_times_vectorfield(
         phiinv, g, displacement=True, transpose=True
     )
-    _, warp_vjp = jax.vjp(wu.sample_displacement_unit_pallas, m0b, phiinv)
-    d_m0, d_p_w = warp_vjp(d_mw)
+    # direct warp backward on the saved residuals (no forward re-execution)
+    d_m0, d_p_w = wu._sdu_bwd((m0b, phiinv), d_mw)
     d_p = d_p_w + jacobian_times_vectorfield_adjoint(g, mw)
     if broadcasting:
         d_m0 = jnp.sum(d_m0, axis=0, keepdims=True)
@@ -695,9 +750,12 @@ compose_disp_vel_pallas.defvjp(_compose_fwd, _compose_bwd)
 # ===========================================================================
 
 
-def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
-                       dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
-    """whole-Y fused Ad* backward (one (n, x-block) per grid step)."""
+def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref, mwpad_ref,
+                       dp_ref, dm_ref, p_slab, m_slab, g_slab, mw_slab, sems):
+    """whole-Y fused Ad* backward (one (n, x-block) per grid step).  The
+    warped momentum arrives as a forward residual (``mwpad_ref``): the
+    27-tap warp re-enumeration that dominated the round-3 kernel's VPU time
+    and scoped-vmem live set is gone."""
     n = pl.program_id(0)
     xb = pl.program_id(1)
     YZ = Y * Z
@@ -708,7 +766,8 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
             ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
         )
         for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab),
+             (mwpad_ref, mw_slab))
         )
     ]
     for cp in cps:
@@ -719,6 +778,7 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     psl = p_slab[...]  # (3, BXW, YZ) edge-padded
     msl = m_slab[...]  # edge-padded
     gsl = g_slab[...]  # zero-padded
+    mwsl = mw_slab[...]  # zero-padded (domain-edge taps are masked)
 
     shape_w = (3, BXW, YZ)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_w, 2)
@@ -756,36 +816,20 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     Ww.update(_adjust_axis(Ww, 1, y_w2 == 0, y_w2 == Y - 1))
     Ww.update(_adjust_axis(Ww, 2, z_w2 == 0, z_w2 == Z - 1))
 
-    # mw (warped m0) at all window rows (rows 0 / BXW-1 hold wrap garbage
-    # but are never read into outputs, which shift by at most 1 from the
-    # center rows [8, 8+BX))
-    mw = jnp.zeros(shape_w, dtype=psl.dtype)
-    for ox in (-1, 0, 1):
-        xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        wx = Ww[(0, ox)]
-        for oy in (-1, 0, 1):
-            xy = pltpu.roll(xt, (-oy * Z) % YZ, 2) if oy != 0 else xt
-            wxy = wx * Ww[(1, oy)]
-            for oz in (-1, 0, 1):
-                tap = pltpu.roll(xy, (-oz) % YZ, 2) if oz != 0 else xy
-                mw = mw + (wxy * Ww[(2, oz)]) * tap
-
     # one-sided-difference masks for the divergence path (NOT clamp folds —
     # the transposes below are fold-free thanks to the adjusted weights)
     x_lo, x_hi = gx_c == 0, gx_c == X - 1
     y_lo, y_hi = y_c == 0, y_c == Y - 1
     z_lo, z_hi = z_c == 0, z_c == Z - 1
 
-    # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel — computed
-    # IMMEDIATELY after mw so the window-sized mw can be released before
-    # the transpose/weight-gradient loop (scoped-vmem pressure: mw alive
-    # across the whole kernel is what kept this variant gated to tiny
-    # volumes in round 2)
+    # d_p, divergence path: sum_a D_a^T (g * mw_a) per channel, from the
+    # RESIDUAL mw (computed immediately so mwsl can be released before the
+    # transpose/weight-gradient loop)
     div = jnp.zeros(shape_c, dtype=psl.dtype)
     for a, (step, first, last) in enumerate(
         ((None, x_lo, x_hi), (Z, y_lo, y_hi), (1, z_lo, z_hi))
     ):
-        q = gsl * mw[a][None]
+        q = gsl * mwsl[a][None]
         qc = q[:, 8 : 8 + BX, :]
         if a == 0:
             qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, :]
@@ -796,7 +840,7 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
         div = div + 0.5 * (
             jnp.where(first, -qc, qm) - jnp.where(last, -qc, qp)
         )
-    del mw
+    del mwsl
 
     # Jacobian columns at all window rows (x from the slab halo)
     xp = pltpu.roll(psl, BXW - 1, 1)
@@ -888,21 +932,43 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     dp_ref[0] = div + jnp.stack([acc0, acc1, acc2], axis=0)
 
 
-def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
-    """Shared y-blocked fused Ad* backward body on loaded slabs of shape
-    (3, BX+16, (BY+4)*Z) — ``psl``/``msl`` edge-padded, ``gsl``
-    zero-padded; ``xb``/``yb`` are the block indices (for the global-index
-    clamp masks).  Calls ``emit_dm(d_m0_block)`` as soon as d_m0 is final
-    (so its VMEM can be released before the divergence path — this kernel
-    sits on the scoped-vmem cliff) and returns the d_p center block
-    (3, BX, BY*Z)."""
+# Pre-roll level of the yb backwards' 27-offset loops (bit-exact
+# restructures, see the loop comments): 0 = per-tap rolls, 1 = z taps
+# pre-rolled per ox, 2 = + x-transpose rolled into the factors.  Measured
+# at 128^3 b4 (scripts/bwd_sweep.py preroll/cpreroll): the heavier Ad*
+# kernel wants level 1 (7.22/6.85/7.07 ms for 0/1/2 — level 2's extra
+# pre-rolled live arrays hit the VMEM pressure cliff), the leaner compose
+# kernel wants level 0 (3.86/4.53/4.41).  Level 3 (select-tree d_p) ties
+# level 1 — the kernel is ROLL-bound, not mult-bound — and level 4
+# (select tree + box-deferred x-transpose, 18 rolls -> 9) wins outright:
+# 7.12 (lvl 1) vs 5.85 ms (lvl 4) same-run.  Env overrides for sweeps.
+_BWD_PREROLL_ADSTAR = int(os.environ.get("LAGO_BWD_PREROLL", "4"))
+_BWD_PREROLL_COMPOSE = int(os.environ.get("LAGO_BWD_PREROLL_COMPOSE", "0"))
+# Measurement-only switch for scripts/bwd_split_probe.py: "dp" skips the
+# d_m0 transpose work, "dm" skips the d_p weight-gradient/divergence work.
+# NEVER set in production — outputs are wrong by design.
+_BWD_PROBE = os.environ.get("LAGO_BWD_PROBE", "")
+
+
+def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, mwsl,
+                        emit_dm):
+    """Shared y-blocked fused Ad* backward body.  ``psl`` (edge-padded) has
+    the 2-halo window shape (3, BX+16, (BY+4)*Z); ``msl`` (edge-padded),
+    ``gsl`` and ``mwsl`` (zero-padded) carry the 1-halo window
+    (3, BX+16, (BY+2)*Z).  ``xb``/``yb`` are the block indices (for the
+    global-index clamp masks).
+
+    The warped momentum ``mwsl`` is a FORWARD RESIDUAL (round 4): the
+    27-tap warp re-enumeration at subwindow extent — the largest VPU block
+    of the round-3 kernel — is gone, and the remaining m0 taps shrink to
+    center (BL) extent.  Calls ``emit_dm(d_m0_block)`` as soon as d_m0 is
+    final and returns the d_p center block (3, BX, BY*Z)."""
     BXW = BX + 16
-    WL2 = (BY + 4) * Z  # window lanes (2-halo)
     SL = (BY + 2) * Z   # subwindow lanes (1-halo)
     BL = BY * Z
 
     psub = psl[:, :, Z : Z + SL]
-    gsub = gsl[:, :, Z : Z + SL]
+    gsub = gsl
 
     shape_s = (3, BXW, SL)
     lane_s = jax.lax.broadcasted_iota(jnp.int32, shape_s, 2)
@@ -924,9 +990,6 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
             _ems[oz] = z_s == (Z - 1 if oz == 1 else 0)
         return jnp.where(_ems[oz], A, rolled)
 
-    def wgt_s(axis, o):
-        return _weights(psub, axis, o)  # (BXW, SL)
-
     # Jacobian columns on the subwindow
     xp = pltpu.roll(psl, BXW - 1, 1)[:, :, Z : Z + SL]
     xm = pltpu.roll(psl, 1, 1)[:, :, Z : Z + SL]
@@ -934,9 +997,8 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
     Jy = 0.5 * (psl[:, :, 2 * Z : 2 * Z + SL] - psl[:, :, 0:SL])
     Jz = 0.5 * (ztap_s(psub, 1) - ztap_s(psub, -1))
 
-    # d_mw depends only on J and g (NOT on mw), so the warp (mw), the
-    # weight-gradient path, and the d_m0 transpose can share ONE 27-offset
-    # enumeration below — weights and taps are computed once per offset.
+    # d_mw depends only on J and g; needed at the subwindow for the d_m0
+    # transpose (its y/x shifts read center +-1)
     d_mw = jnp.stack(
         [
             gsub[0] * Jx[0] + gsub[1] * Jx[1] + gsub[2] * Jx[2] + gsub[0],
@@ -954,30 +1016,19 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
     def cslice2(w):  # (BXW, SL) weight -> its center block (BX, BL)
         return w[8 : 8 + BX, Z : Z + BL]
 
-    # Merged 27-offset loop computing:
-    #  * mw (warped m0 on the subwindow) — consumed by the divergence path;
-    #  * d_p weight-gradient accumulators (center taps = slices of the
-    #    subwindow taps; center weights = slices of the subwindow weights);
-    #    the (ox, oy) weight factors are constant across oz, so the z-axis
-    #    products accumulate into (s_w, s_dw) per tap and the (ox, oy)
-    #    factors multiply ONCE per group (5 fewer center passes per tap);
-    #  * d_m0 = transpose of the weighted warp.
-    # The CLAMP is folded into the per-axis weights once (_adjust_axis), so
-    # every tap is a pure roll/slice and every transpose a pure
-    # roll/slice — no per-tap selects or per-transpose folds.
-    # hoisted per-axis weights (window + center slices + dweights: 9+9+9
-    # computes instead of per-tap recomputation)
+    # hoisted per-axis weights (window + center slices + dweights), with
+    # the CLAMP folded in once (_adjust_axis): every tap is a pure
+    # roll/slice and every transpose a pure roll/slice — no per-tap selects
+    # or per-transpose folds
     row_s = jax.lax.broadcasted_iota(jnp.int32, (BXW, SL), 0)
     lane_s2 = jax.lax.broadcasted_iota(jnp.int32, (BXW, SL), 1)
     gx_s = xb * BX + row_s - 8
     gy_s = yb * BY + lane_s2 // Z - 1
     z_s2 = lane_s2 % Z
-    Ws = {(a, o): wgt_s(a, o) for a in range(3) for o in (-1, 0, 1)}
+    Ws = {(a, o): _weights(psub, a, o) for a in range(3) for o in (-1, 0, 1)}
     Ws.update(_adjust_axis(Ws, 0, gx_s == 0, gx_s == X - 1))
     Ws.update(_adjust_axis(Ws, 1, gy_s == 0, gy_s == Y - 1))
     Ws.update(_adjust_axis(Ws, 2, z_s2 == 0, z_s2 == Z - 1))
-    Wc = {k: cslice2(w) for k, w in Ws.items()}
-    dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
     # center masks from FRESH center-shaped iotas: slicing a single-axis
     # (broadcast-layout) mask crashes Mosaic's extract_strided_slice
     row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 0)
@@ -985,31 +1036,117 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
     gx_c2 = xb * BX + row_c2
     gy_c2 = yb * BY + lane_c2 // Z
     z_c2 = lane_c2 % Z
-    dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
-    dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
-    dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
+    if _BWD_PREROLL_ADSTAR < 3:
+        # 27-tap weight-gradient path: per-offset weights + derivatives at
+        # the center, clamp folded in once
+        Wc = {k: cslice2(w) for k, w in Ws.items()}
+        dWc = {(a, o): dwc(a, o) for a in range(3) for o in (-1, 0, 1)}
+        dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
+        dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
+        dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
 
-    mw = jnp.zeros(shape_s, dtype=psl.dtype)
     acc0 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
     # d_m0 accumulators: three (3, BX, BL) per-oz accumulators stay live
-    # across the whole loop (the z transpose factors over the offset sum) —
-    # round 2 kept 9 (3, BX, SL) arrays live across the whole loop, which
-    # dominated the scoped-vmem budget and capped the block sizes
-    # NOTE: unlike the compose backward, the x transpose here is applied
-    # PER TAP (roll + slice, still fold-free thanks to the adjusted
-    # weights), not deferred per (ox, oz): this kernel already keeps mw,
-    # d_mw and nine window weights live, and three extra (3, BXW, BL)
-    # deferral accumulators push it over the VMEM pressure cliff (measured
-    # 4.9 -> 8.2 ms at 128^3 b4 with the deferred variant).
+    # across the whole loop (the z transpose factors over the offset sum)
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
+    # Merged 27-offset loop computing the d_p weight-gradient path and the
+    # d_m0 transpose.  With mw external, the m0 taps shrink to CENTER (BL)
+    # extent.  Bit-exact pre-roll restructures (_BWD_PREROLL_ADSTAR) hoist the
+    # per-tap rolls out of the 27-iteration loop:
+    #   >=1: the m0 z taps are pre-rolled once per ox at SL extent (the
+    #        wrap-in lands on z-edge lanes where the adjusted (2, oz)
+    #        weights are zero, exactly as the per-tap BL roll's did), so
+    #        every tap is a pure aligned lane slice;
+    #   >=2: the d_m0 x transpose distributes over the P product —
+    #        roll(P, ox)[8:8+BX] == P[8-ox : 8-ox+BX] element-for-element —
+    #        so each FACTOR is rolled once per (ox, ·) and sliced at the
+    #        aligned center rows, dropping the per-tap work to two
+    #        center-extent multiplies plus the accz add.
+    #   ==3: the d_p weight-gradient path exploits that |phiinv| < 1 means
+    #        floor in {-1, 0} per axis — only 8 of the 27 taps are active
+    #        per voxel.  The per-tap contractions gq = <d_mw, tap> are
+    #        still enumerated (they cost the same either way), but the
+    #        weight/derivative machinery collapses: a 3-level floor-mask
+    #        SELECT TREE picks each axis's two active gq values, weights
+    #        become (1-t, t), and derivative factors become +-1 signs —
+    #        no per-offset center weights, weight derivatives, or clamp
+    #        adjusts.  Domain clamps come free: at a clamped face the
+    #        select keeps the unshifted (edge) value for both active taps,
+    #        so the derivative contribution cancels to an exact zero,
+    #        reproducing the adjusted-weight fold (reference interp.h
+    #        floor-then-clamp corners).  The d_m0 transpose stays on the
+    #        27-offset enumeration (a select-tree adjoint was counted and
+    #        loses: per-node mask mults outweigh the tap savings).
+    #        Results equal the <3 modes to f32 roundoff (the sums
+    #        reassociate), not bitwise.
+    gq = {}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(msl, (-ox) % BXW, 1) if ox != 0 else msl
-        wx = Ws[(0, ox)]
+        if _BWD_PREROLL_ADSTAR >= 1:
+            xt_c = xt[:, 8 : 8 + BX, :]
+            xtz = {0: xt_c}
+            for oz in (-1, 1):
+                xtz[oz] = pltpu.roll(xt_c, (-oz) % SL, 2)
+        if _BWD_PREROLL_ADSTAR >= 3:
+            # >=4: the kernel is ROLL-bound, not mult-bound (levels 2/3
+            # moved hundreds of mult-units for ~0: bwd_sweep r4) — defer
+            # the P path's x-transpose to ONE window roll per (ox, oz)
+            # via compose-style box accumulators (18 rolls -> 9), paid
+            # for with window-extent adds; the Wc/dWc arrays dropped by
+            # level 3 make the VMEM room.
+            if _BWD_PREROLL_ADSTAR >= 4:
+                box = {
+                    oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype)
+                    for oz in (-1, 0, 1)
+                }
+            for oy in (-1, 0, 1):
+                yoff = (1 + oy) * Z
+                off = (1 - oy) * Z
+                dmw_t = d_mw[:, :, off : off + BL]
+                wxy_t = (
+                    Ws[(0, ox)][:, off : off + BL]
+                    * Ws[(1, oy)][:, off : off + BL]
+                )
+                for oz in (-1, 0, 1):
+                    if _BWD_PROBE != "dm":
+                        tc = xtz[oz][:, :, yoff : yoff + BL]
+                        gq[(ox, oy, oz)] = (
+                            d_mw_c[0] * tc[0]
+                            + d_mw_c[1] * tc[1]
+                            + d_mw_c[2] * tc[2]
+                        )
+                    if _BWD_PROBE == "dp":
+                        continue
+                    P = (wxy_t * Ws[(2, oz)][:, off : off + BL]) * dmw_t
+                    if _BWD_PREROLL_ADSTAR >= 4:
+                        box[oz] = box[oz] + P
+                    else:
+                        Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                        accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+            if _BWD_PREROLL_ADSTAR >= 4:
+                for oz in (-1, 0, 1):
+                    Bz = box[oz]
+                    Pr = pltpu.roll(Bz, ox % BXW, 1) if ox != 0 else Bz
+                    accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+            continue
+        if _BWD_PREROLL_ADSTAR >= 2:
+            dmw_rc = (pltpu.roll(d_mw, ox % BXW, 1) if ox != 0 else d_mw)[
+                :, 8 : 8 + BX, :
+            ]
+            wsz_rc = {
+                oz: (
+                    pltpu.roll(Ws[(2, oz)], ox % BXW, 0)
+                    if ox != 0
+                    else Ws[(2, oz)]
+                )[8 : 8 + BX, :]
+                for oz in (-1, 0, 1)
+            }
         for oy in (-1, 0, 1):
-            ytap = xt[:, :, (1 + oy) * Z : (1 + oy) * Z + SL]
-            wxy = wx * Ws[(1, oy)]
+            yoff = (1 + oy) * Z
+            if _BWD_PREROLL_ADSTAR < 1:
+                ytap = xt[:, 8 : 8 + BX, yoff : yoff + BL]
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
@@ -1017,18 +1154,27 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
             s_dw = jnp.zeros((BX, BL), dtype=psl.dtype)
             # d_m0 transpose: the y-transpose slice of every factor is taken
             # BEFORE the multiply/roll (identical values — pure element
-            # selection), so the P product and the per-tap x roll run on BL
-            # lanes instead of SL
+            # selection), so the P product runs on BL lanes instead of SL
             off = (1 - oy) * Z
-            dmw_t = d_mw[:, :, off : off + BL]
-            for oz in (-1, 0, 1):
-                w3 = wxy * Ws[(2, oz)]
-                tap = (
-                    pltpu.roll(ytap, (-oz) % SL, 2) if oz != 0 else ytap
+            if _BWD_PREROLL_ADSTAR >= 2:
+                wxy = Ws[(0, ox)] * Ws[(1, oy)]
+                wxy_rc = (pltpu.roll(wxy, ox % BXW, 0) if ox != 0 else wxy)[
+                    8 : 8 + BX, off : off + BL
+                ]
+                dmw_t = dmw_rc[:, :, off : off + BL]
+            else:
+                dmw_t = d_mw[:, :, off : off + BL]
+                wxy_t = (
+                    Ws[(0, ox)][:, off : off + BL]
+                    * Ws[(1, oy)][:, off : off + BL]
                 )
-                mw = mw + w3 * tap
-                # weight-gradient path at center
-                tc = tap[:, 8 : 8 + BX, Z : Z + BL]
+            for oz in (-1, 0, 1):
+                if _BWD_PREROLL_ADSTAR >= 1:
+                    tc = xtz[oz][:, :, yoff : yoff + BL]
+                else:
+                    tc = (
+                        pltpu.roll(ytap, (-oz) % BL, 2) if oz != 0 else ytap
+                    )
                 gt = (
                     d_mw_c[0] * tc[0]
                     + d_mw_c[1] * tc[1]
@@ -1036,14 +1182,66 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
                 )
                 s_w = s_w + Wc[(2, oz)] * gt
                 s_dw = s_dw + dWc[(2, oz)] * gt
-                # d_m0: x-transpose (pure window roll, post-y-slice) — both
-                # transposes fold-free thanks to the adjusted weights
-                P = w3[:, off : off + BL] * dmw_t  # (3, BXW, BL)
-                Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
-                accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+                if _BWD_PREROLL_ADSTAR >= 2:
+                    w_t = wxy_rc * wsz_rc[oz][:, off : off + BL]
+                    accz[oz] = accz[oz] + w_t[None] * dmw_t
+                else:
+                    # d_m0: x-transpose (pure window roll, post-y-slice) —
+                    # fold-free thanks to the adjusted weights
+                    P = (wxy_t * Ws[(2, oz)][:, off : off + BL]) * dmw_t
+                    Pr = pltpu.roll(P, ox % BXW, 1) if ox != 0 else P
+                    accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
             acc0 = acc0 + a_xy * s_w
             acc1 = acc1 + b_xy * s_w
             acc2 = acc2 + c_xy * s_dw
+
+    if _BWD_PREROLL_ADSTAR >= 3 and _BWD_PROBE != "dm":
+        # Select tree over the 27 per-offset contractions: each level picks
+        # the axis's two ACTIVE values by the floor mask (evaluated at the
+        # OUTPUT voxel — gq is fully shifted, so the masks line up).  x/y
+        # clamps ride the edge-padded halos; z clamps keep the unshifted
+        # value via the compound masks.
+        fx = jnp.floor(pcen[0])
+        fy = jnp.floor(pcen[1])
+        fz = jnp.floor(pcen[2])
+        mx = fx == -1.0
+        my = fy == -1.0
+        mz = fz == -1.0
+        wx = (1.0 - (pcen[0] - fx), pcen[0] - fx)
+        wy = (1.0 - (pcen[1] - fy), pcen[1] - fy)
+        wz = (1.0 - (pcen[2] - fz), pcen[2] - fz)
+        mzl = mz & (z_c2 > 0)
+        mzh = mz | (z_c2 == Z - 1)
+        for uz in (0, 1):
+            qz = {
+                (ox, oy): (
+                    jnp.where(mzl, gq[(ox, oy, -1)], gq[(ox, oy, 0)])
+                    if uz == 0
+                    else jnp.where(mzh, gq[(ox, oy, 0)], gq[(ox, oy, 1)])
+                )
+                for ox in (-1, 0, 1)
+                for oy in (-1, 0, 1)
+            }
+            for uy in (0, 1):
+                qy = {
+                    ox: (
+                        jnp.where(my, qz[(ox, -1)], qz[(ox, 0)])
+                        if uy == 0
+                        else jnp.where(my, qz[(ox, 0)], qz[(ox, 1)])
+                    )
+                    for ox in (-1, 0, 1)
+                }
+                g0 = jnp.where(mx, qy[-1], qy[0])
+                g1 = jnp.where(mx, qy[0], qy[1])
+                # dW/dd is +-1 per axis in the 2-tap form: the axis-a
+                # gradient is the signed tap difference, weighted by the
+                # OTHER axes' (1-t, t) factors
+                q = wx[0] * g0 + wx[1] * g1
+                acc0 = acc0 + (wy[uy] * wz[uz]) * (g1 - g0)
+                d1 = wz[uz] * q
+                acc1 = acc1 - d1 if uy == 0 else acc1 + d1
+                d2 = wy[uy] * q
+                acc2 = acc2 - d2 if uz == 0 else acc2 + d2
 
     acc_dm = accz[0]
     for oz in (-1, 1):
@@ -1051,10 +1249,10 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
     emit_dm(acc_dm)
     del acc_dm
 
-    # d_p: divergence path sum_a D_a^T (g * mw_a)
+    # d_p: divergence path sum_a D_a^T (g * mw_a) from the residual mw
     div = jnp.zeros(shape_c, dtype=psl.dtype)
-    for a in range(3):
-        q = gsub * mw[a][None]  # (3, BXW, SL)
+    for a in range(3) if _BWD_PROBE != "dm" else ():
+        q = gsub * mwsl[a][None]  # (3, BXW, SL)
         qc = q[:, 8 : 8 + BX, Z : Z + BL]
         if a == 0:
             qm = pltpu.roll(q, 1, 1)[:, 8 : 8 + BX, Z : Z + BL]
@@ -1079,29 +1277,33 @@ def _adstar_yb_bwd_body(BX, BY, Y, Z, X, xb, yb, psl, msl, gsl, emit_dm):
 
 
 def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
-                          dp_ref, dm_ref, p_slab, m_slab, g_slab, sems):
-    """y-blocked fused Ad* backward: windows carry a 2-voxel y halo (the
-    inner quantities mw / d_mw are needed on a 1-halo subwindow, whose own
-    taps need one more).  Static lane slices at multiples of Z stay
-    (8,128)-aligned since Z % 128 == 0.
+                          mwpad_ref, dp_ref, dm_ref, p_slab, m_slab, g_slab,
+                          mw_slab, sems):
+    """y-blocked fused Ad* backward.  The phiinv window carries a 2-voxel
+    y halo (the Jacobian is needed on a 1-halo subwindow whose own diffs
+    need one more); m0, g, and the residual mw carry 1-halo windows.
+    Static lane slices at multiples of Z stay (8,128)-aligned since
+    Z % 128 == 0.
 
-    NOT slab-double-buffered: this kernel sits on the scoped-vmem cliff
-    (15.55M of the 16M limit at BX=32/BY=8) and the doubled slot axis
-    overflows by 2.2M (measured); even deferring only the m-slab WAIT past
-    the Jacobian/weights setup costs 0.6M of scoped headroom (16.17M,
-    overflow) — plain start-all/wait-all is the fit."""
+    NOT slab-double-buffered: the round-3 variant sat on the scoped-vmem
+    cliff and the doubled slot axis overflowed (measured); with mw external
+    the live set is leaner, but plain start-all/wait-all remains the
+    conservative fit."""
     BXW = BX + 16
     WL2 = (BY + 4) * Z
+    SL = (BY + 2) * Z
     BL = BY * Z
     n = pl.program_id(0)
     xb = pl.program_id(1)
     yb = pl.program_id(2)
 
-    win = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
+    win2 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
+    win1 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, SL))
     cps = [
         pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+        for i, (ref, slab, win) in enumerate(
+            ((ppad_ref, p_slab, win2), (mpad_ref, m_slab, win1),
+             (gpad_ref, g_slab, win1), (mwpad_ref, mw_slab, win1))
         )
     ]
     for cp in cps:
@@ -1114,7 +1316,7 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
 
     dp_ref[0] = _adstar_yb_bwd_body(
         BX, BY, Y, Z, X, xb, yb, p_slab[...], m_slab[...], g_slab[...],
-        emit_dm,
+        mw_slab[...], emit_dm,
     )
 
 
@@ -1153,27 +1355,26 @@ def _pick_by_bwd(Y: int, Z: int, BX: int = 16) -> int:
     return 0
 
 
-def _adstar_bwd_fused_dispatch(p, m0b, g):
-    """Run the fused backward; returns (d_p, d_m0) or None when no kernel
-    geometry applies (caller falls back to the composed backward)."""
+def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
+    """Run the fused backward (``mw`` = the forward's warped-momentum
+    residual); returns (d_p, d_m0) or None when no kernel geometry applies
+    (caller falls back to the composed backward)."""
     N = p.shape[0]
     X, Y, Z = p.shape[2:]
     shp = m0b.shape
     xw = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
     if wu.supported(shp, p.shape, p.dtype):
         BX = wu._pick_block(X, Y * Z)
-        # Scoped-vmem envelope: the merged clamp-adjusted kernel still
-        # wants 26M scoped at 64^3 (measured round 3 via mosaic_probe; the
-        # mw-early-release reorder saved only 3M of the round-2 29M) vs the
-        # 16M limit — window-sized mw/d_mw/weights are inherent to whole-Y.
-        # Only small volumes fit; larger ones use the y-blocked variant
-        # (Z % 128) or the composed backward (still Pallas warp-bwd
-        # kernels, ~1.8 ms at 64^3 b4).
+        # Scoped-vmem envelope: the round-3 merged kernel wanted 26M at
+        # 64^3 (vs the 16M limit) with the in-kernel mw enumeration; with
+        # mw external the live set is leaner but window-sized weights and
+        # d_mw remain — the envelope below is the measured round-4 fit.
         if (BX + 16) * Y * Z > 50_000:
             return None
         ppad = jnp.pad(p, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
         mpad = jnp.pad(m0b, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
         gpad = jnp.pad(g, xw).reshape(N, 3, X + 16, Y * Z)
+        mwpad = jnp.pad(mw, xw).reshape(N, 3, X + 16, Y * Z)
         dp, dm = pl.pallas_call(
             partial(_adstar_bwd_kernel, BX, Y, Z, X),
             out_shape=[
@@ -1181,7 +1382,7 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
                 jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
             ],
             grid=(N, X // BX),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
             out_specs=[
                 pl.BlockSpec(
                     (1, 3, BX, Y * Z),
@@ -1193,9 +1394,10 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
                 pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
                 pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
                 pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
-        )(ppad, mpad, gpad)
+        )(ppad, mpad, gpad, mwpad)
         return dp.reshape(p.shape), dm.reshape(p.shape)
     if wu.yblocked_supported(shp, p.shape, p.dtype) and _pick_by_bwd(
         Y, Z, _pick_bx_bwd(X)
@@ -1204,9 +1406,11 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
         BY = _pick_by_bwd(Y, Z, BX)
         BL = BY * Z
         w2 = [(0, 0), (0, 0), (8, 8), (2, 2), (0, 0)]
+        w1 = [(0, 0), (0, 0), (8, 8), (1, 1), (0, 0)]
         ppad = jnp.pad(p, w2, mode="edge").reshape(N, 3, X + 16, (Y + 4) * Z)
-        mpad = jnp.pad(m0b, w2, mode="edge").reshape(N, 3, X + 16, (Y + 4) * Z)
-        gpad = jnp.pad(g, w2).reshape(N, 3, X + 16, (Y + 4) * Z)
+        mpad = jnp.pad(m0b, w1, mode="edge").reshape(N, 3, X + 16, (Y + 2) * Z)
+        gpad = jnp.pad(g, w1).reshape(N, 3, X + 16, (Y + 2) * Z)
+        mwpad = jnp.pad(mw, w1).reshape(N, 3, X + 16, (Y + 2) * Z)
         dp, dm = pl.pallas_call(
             partial(_adstar_bwd_kernel_yb, BX, BY, Y, Z, X),
             out_shape=[
@@ -1214,7 +1418,7 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
                 jax.ShapeDtypeStruct((N, 3, X, Y * Z), p.dtype),
             ],
             grid=(N, X // BX, Y // BY),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
             out_specs=[
                 pl.BlockSpec(
                     (1, 3, BX, BL),
@@ -1224,19 +1428,20 @@ def _adstar_bwd_fused_dispatch(p, m0b, g):
             ] * 2,
             scratch_shapes=[
                 pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
-        )(ppad, mpad, gpad)
+        )(ppad, mpad, gpad, mwpad)
         return dp.reshape(p.shape), dm.reshape(p.shape)
     amounts = wu._pad_amounts(X, Y, Z)
     if amounts is None:
         return None
     px, py, pz, _ = amounts
     ppp, mpp = wu._pad_fields([p, m0b], px, py, pz, "edge")
-    (gpp,) = wu._pad_fields([g], px, py, pz, "constant")
-    res = _adstar_bwd_fused_dispatch(ppp, mpp, gpp)
+    gpp, mwpp = wu._pad_fields([g, mw], px, py, pz, "constant")
+    res = _adstar_bwd_fused_dispatch(ppp, mpp, gpp, mwpp)
     if res is None:
         return None
     dpp, dmp = res
@@ -1425,8 +1630,6 @@ def _compose_yb_bwd_body(BX, BY, Y, Z, X, s, xb, yb, psl, vsl, gsl):
 
     dctr = dsl[:, 8 : 8 + BX, Z : Z + BL]
     g_c = gsl[:, 8 : 8 + BX, Z : Z + BL]
-    Wc = {k: csl(w) for k, w in W.items()}
-    dWc = {(a, o): _dweights(dctr, a, o) for a in range(3) for o in (-1, 0, 1)}
     # center masks from FRESH center-shaped iotas: slicing a single-axis
     # (broadcast-layout) mask crashes Mosaic's extract_strided_slice
     row_c2 = jax.lax.broadcasted_iota(jnp.int32, (BX, BL), 0)
@@ -1434,9 +1637,16 @@ def _compose_yb_bwd_body(BX, BY, Y, Z, X, s, xb, yb, psl, vsl, gsl):
     gx_c2 = xb * BX + row_c2
     gy_c2 = yb * BY + lane_c2 // Z
     z_c2 = lane_c2 % Z
-    dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
-    dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
-    dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
+    if _BWD_PREROLL_COMPOSE < 3:
+        Wc = {k: csl(w) for k, w in W.items()}
+        dWc = {
+            (a, o): _dweights(dctr, a, o)
+            for a in range(3)
+            for o in (-1, 0, 1)
+        }
+        dWc.update(_adjust_axis(dWc, 0, gx_c2 == 0, gx_c2 == X - 1))
+        dWc.update(_adjust_axis(dWc, 1, gy_c2 == 0, gy_c2 == Y - 1))
+        dWc.update(_adjust_axis(dWc, 2, z_c2 == 0, z_c2 == Z - 1))
 
     # Merged 27-offset loop computing d_phiinv (warp-transpose of W*g) and
     # the d_v weight-gradient path — weights shared per offset.  As in the
@@ -1449,14 +1659,76 @@ def _compose_yb_bwd_body(BX, BY, Y, Z, X, s, xb, yb, psl, vsl, gsl):
     acc1 = jnp.zeros((BX, BL), dtype=psl.dtype)
     acc2 = jnp.zeros((BX, BL), dtype=psl.dtype)
     accz = {oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)}
+    gq = {}
     for ox in (-1, 0, 1):
         xt = pltpu.roll(psl, (-ox) % BXW, 1) if ox != 0 else psl
         wx = W[(0, ox)]
-        box = {
-            oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype) for oz in (-1, 0, 1)
-        }
+        if _BWD_PREROLL_COMPOSE >= 3:
+            # d_phiinv transpose (box path) + the per-offset contractions
+            # for the d_v select tree (see the Ad* backward's ==3 comment)
+            xt_c = xt[:, 8 : 8 + BX, :]
+            xtz3 = {0: xt_c}
+            for oz in (-1, 1):
+                xtz3[oz] = pltpu.roll(xt_c, (-oz) % WL, 2)
+            box = {
+                oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype)
+                for oz in (-1, 0, 1)
+            }
+            for oy in (-1, 0, 1):
+                yoff = (1 + oy) * Z
+                off = (1 - oy) * Z
+                wxy_t = wx[:, off : off + BL] * W[(1, oy)][:, off : off + BL]
+                g_t = gsl[:, :, off : off + BL]
+                for oz in (-1, 0, 1):
+                    Wz_t = W[(2, oz)][:, off : off + BL]
+                    box[oz] = box[oz] + (wxy_t * Wz_t) * g_t
+                    tap = xtz3[oz][:, :, yoff : yoff + BL]
+                    gq[(ox, oy, oz)] = (
+                        g_c[0] * tap[0]
+                        + g_c[1] * tap[1]
+                        + g_c[2] * tap[2]
+                    )
+            for oz in (-1, 0, 1):
+                Bz = box[oz]
+                Pr = pltpu.roll(Bz, ox % BXW, 1) if ox != 0 else Bz
+                accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+            continue
+        if _BWD_PREROLL_COMPOSE >= 1:
+            # phiinv z taps pre-rolled once per ox at WL extent (wrap-ins
+            # land on z-edge lanes where the adjusted (2, oz) weights are
+            # zero), so every tap is a pure aligned lane slice
+            xt_c = xt[:, 8 : 8 + BX, :]
+            xtz = {0: xt_c}
+            for oz in (-1, 1):
+                xtz[oz] = pltpu.roll(xt_c, (-oz) % WL, 2)
+        if _BWD_PREROLL_COMPOSE >= 2:
+            # d_phiinv x transpose rolled into the factors (see the Ad*
+            # backward); per-(ox, oz) CENTER-extent partial sums keep the
+            # oy-sum-then-accz-add association of the deferred-roll path,
+            # so the restructure stays bit-identical
+            g_rc = (pltpu.roll(gsl, ox % BXW, 1) if ox != 0 else gsl)[
+                :, 8 : 8 + BX, :
+            ]
+            wz_rc = {
+                oz: (
+                    pltpu.roll(W[(2, oz)], ox % BXW, 0)
+                    if ox != 0
+                    else W[(2, oz)]
+                )[8 : 8 + BX, :]
+                for oz in (-1, 0, 1)
+            }
+            sxy = {
+                oz: jnp.zeros(shape_c, dtype=psl.dtype) for oz in (-1, 0, 1)
+            }
+        else:
+            box = {
+                oz: jnp.zeros((3, BXW, BL), dtype=psl.dtype)
+                for oz in (-1, 0, 1)
+            }
         for oy in (-1, 0, 1):
-            ytap = xt[:, 8 : 8 + BX, (1 + oy) * Z : (1 + oy) * Z + BL]
+            yoff = (1 + oy) * Z
+            if _BWD_PREROLL_COMPOSE < 1:
+                ytap = xt[:, 8 : 8 + BX, yoff : yoff + BL]
             a_xy = dWc[(0, ox)] * Wc[(1, oy)]
             b_xy = Wc[(0, ox)] * dWc[(1, oy)]
             c_xy = Wc[(0, ox)] * Wc[(1, oy)]
@@ -1467,25 +1739,86 @@ def _compose_yb_bwd_body(BX, BY, Y, Z, X, s, xb, yb, psl, vsl, gsl):
             # transposed BEFORE the multiplies — the whole product chain
             # runs on BL lanes instead of WL (identical values)
             off = (1 - oy) * Z
-            wxy_t = wx[:, off : off + BL] * W[(1, oy)][:, off : off + BL]
-            g_t = gsl[:, :, off : off + BL]
+            if _BWD_PREROLL_COMPOSE >= 2:
+                wxy = wx * W[(1, oy)]
+                wxy_rc = (pltpu.roll(wxy, ox % BXW, 0) if ox != 0 else wxy)[
+                    8 : 8 + BX, off : off + BL
+                ]
+                g_t = g_rc[:, :, off : off + BL]
+            else:
+                wxy_t = wx[:, off : off + BL] * W[(1, oy)][:, off : off + BL]
+                g_t = gsl[:, :, off : off + BL]
             for oz in (-1, 0, 1):
-                Wz_t = W[(2, oz)][:, off : off + BL]
-                box[oz] = box[oz] + (wxy_t * Wz_t) * g_t
-                tap = (
-                    pltpu.roll(ytap, (-oz) % BL, 2) if oz != 0 else ytap
-                )
+                if _BWD_PREROLL_COMPOSE >= 2:
+                    w_t = wxy_rc * wz_rc[oz][:, off : off + BL]
+                    sxy[oz] = sxy[oz] + w_t[None] * g_t
+                else:
+                    Wz_t = W[(2, oz)][:, off : off + BL]
+                    box[oz] = box[oz] + (wxy_t * Wz_t) * g_t
+                if _BWD_PREROLL_COMPOSE >= 1:
+                    tap = xtz[oz][:, :, yoff : yoff + BL]
+                else:
+                    tap = (
+                        pltpu.roll(ytap, (-oz) % BL, 2) if oz != 0 else ytap
+                    )
                 gt = g_c[0] * tap[0] + g_c[1] * tap[1] + g_c[2] * tap[2]
                 s_w = s_w + Wc[(2, oz)] * gt
                 s_dw = s_dw + dWc[(2, oz)] * gt
             acc0 = acc0 + a_xy * s_w
             acc1 = acc1 + b_xy * s_w
             acc2 = acc2 + c_xy * s_dw
-        # deferred x-transpose: one window roll per (ox, oz)
-        for oz in (-1, 0, 1):
-            Bz = box[oz]
-            Pr = pltpu.roll(Bz, ox % BXW, 1) if ox != 0 else Bz
-            accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+        if _BWD_PREROLL_COMPOSE >= 2:
+            for oz in (-1, 0, 1):
+                accz[oz] = accz[oz] + sxy[oz]
+        else:
+            # deferred x-transpose: one window roll per (ox, oz)
+            for oz in (-1, 0, 1):
+                Bz = box[oz]
+                Pr = pltpu.roll(Bz, ox % BXW, 1) if ox != 0 else Bz
+                accz[oz] = accz[oz] + Pr[:, 8 : 8 + BX, :]
+
+    if _BWD_PREROLL_COMPOSE >= 3:
+        # d_v select tree over the per-offset contractions (the Ad*
+        # backward's ==3 comment explains the formulation); masks and
+        # (1-t, t) weights from the composed displacement at the center
+        fx = jnp.floor(dctr[0])
+        fy = jnp.floor(dctr[1])
+        fz = jnp.floor(dctr[2])
+        mx = fx == -1.0
+        my = fy == -1.0
+        mz = fz == -1.0
+        wx = (1.0 - (dctr[0] - fx), dctr[0] - fx)
+        wy = (1.0 - (dctr[1] - fy), dctr[1] - fy)
+        wz = (1.0 - (dctr[2] - fz), dctr[2] - fz)
+        mzl = mz & (z_c2 > 0)
+        mzh = mz | (z_c2 == Z - 1)
+        for uz in (0, 1):
+            qz = {
+                (ox, oy): (
+                    jnp.where(mzl, gq[(ox, oy, -1)], gq[(ox, oy, 0)])
+                    if uz == 0
+                    else jnp.where(mzh, gq[(ox, oy, 0)], gq[(ox, oy, 1)])
+                )
+                for ox in (-1, 0, 1)
+                for oy in (-1, 0, 1)
+            }
+            for uy in (0, 1):
+                qy = {
+                    ox: (
+                        jnp.where(my, qz[(ox, -1)], qz[(ox, 0)])
+                        if uy == 0
+                        else jnp.where(my, qz[(ox, 0)], qz[(ox, 1)])
+                    )
+                    for ox in (-1, 0, 1)
+                }
+                g0 = jnp.where(mx, qy[-1], qy[0])
+                g1 = jnp.where(mx, qy[0], qy[1])
+                q = wx[0] * g0 + wx[1] * g1
+                acc0 = acc0 + (wy[uy] * wz[uz]) * (g1 - g0)
+                d1 = wz[uz] * q
+                acc1 = acc1 - d1 if uy == 0 else acc1 + d1
+                d2 = wy[uy] * q
+                acc2 = acc2 - d2 if uz == 0 else acc2 + d2
 
     acc_dp = accz[0]
     for oz in (-1, 1):

@@ -246,6 +246,32 @@ def _adstar_fwd_kernel_pr(BX, BY, Y, Z, ppad_ref, mpad_ref,
     _accum_flag(flag_ref, L, _flag_of(psl[:, 8 : 8 + BX, Z : Z + BL]))
 
 
+def _adstar_fwd_kernel_pr_mw(BX, BY, Y, Z, X, ppad_ref, mpad_ref,
+                             out_ref, flag_ref, mw_ref, p_slab, m_slab,
+                             obuf, hx, hy, hc, sems, osem):
+    """VJP-forward variant: also stores the warped-momentum residual in the
+    carry layout (zero halo bands — domain-edge mw taps are masked in the
+    backward's divergence path)."""
+    WL = (BY + 2) * Z
+    BL = BY * Z
+    n, xb, yb, L, T, ids = eu._yb_linear_step()
+
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BX + 16),
+                pl.ds(ybq * BL + (PY - 1) * Z, WL))
+
+    slot = eu._db_slabs((ppad_ref, mpad_ref), (p_slab, m_slab), sems,
+                        window, L, T)
+    psl = p_slab[slot]
+    out, mw = eu._adstar_yb_fwd_body(BX, BY, Y, Z, psl, m_slab[slot],
+                                     want_mw=True)
+    out_ref[0] = out
+    _store_padded(mw_ref, n, xb, yb, X, Y, Z, BX, BY, mw,
+                  obuf, hx, hy, hc, osem.at[0], edge=False)
+    _accum_flag(flag_ref, L, _flag_of(psl[:, 8 : 8 + BX, Z : Z + BL]))
+
+
 def _compose_fwd_kernel_pr(BX, BY, Y, Z, X, s, ppad_ref, v_ref,
                            out_ref, flag_ref, p_slab,
                            obuf, hx, hy, hc, sems, osem):
@@ -272,21 +298,26 @@ def _compose_fwd_kernel_pr(BX, BY, Y, Z, X, s, ppad_ref, v_ref,
 
 
 def _adstar_bwd_kernel_pr(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
-                          dp_ref, dm_ref, p_slab, m_slab, g_slab,
-                          obuf, hx, hy, hc, sems, osem):
+                          mwpad_ref, dp_ref, dm_ref, p_slab, m_slab, g_slab,
+                          mw_slab, obuf, hx, hy, hc, sems, osem):
     BXW = BX + 16
     WL2 = (BY + 4) * Z
+    SL = (BY + 2) * Z
     BL = BY * Z
     n = pl.program_id(0)
     xb = pl.program_id(1)
     yb = pl.program_id(2)
 
-    # PY == 2: the 2-halo window IS the layout window (no lane offset)
-    win = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
+    # PY == 2: the 2-halo window IS the layout window (no lane offset);
+    # the 1-halo windows (m0, g, residual mw) sit +Z lanes in
+    win2 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
+    win1 = (n, slice(None), pl.ds(xb * BX, BXW),
+            pl.ds(yb * BL + (PY - 1) * Z, SL))
     cps = [
         pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab))
+        for i, (ref, slab, win) in enumerate(
+            ((ppad_ref, p_slab, win2), (mpad_ref, m_slab, win1),
+             (gpad_ref, g_slab, win1), (mwpad_ref, mw_slab, win1))
         )
     ]
     for c in cps:
@@ -300,7 +331,7 @@ def _adstar_bwd_kernel_pr(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
 
     dp = eu._adstar_yb_bwd_body(
         BX, BY, Y, Z, X, xb, yb, p_slab[...], m_slab[...], g_slab[...],
-        emit_dm,
+        mw_slab[...], emit_dm,
     )
     _store_padded(dp_ref, n, xb, yb, X, Y, Z, BX, BY, dp,
                   obuf, hx, hy, hc, osem.at[0], edge=False)
@@ -346,36 +377,75 @@ def _out_scratch(BX, BY, Z):
     ]
 
 
-def _adstar_fwd_pr(ppad, mpad, X, Y, Z):
-    N = ppad.shape[0]
+def _fwd_blocks_mw(X, Y, Z):
+    """(BX, BY) for the mw-emitting forward: the _store_padded scratch
+    (obuf + halo bands) rides on top of the double-buffered slabs, so the
+    default _fwd_blocks assignment can overflow scoped vmem (measured:
+    BX=16/BY=32 at 32x96x128 wanted 16.23M vs the 16M limit).  Shrink BY
+    until slabs + store scratch fit the same 15M envelope."""
     BX, BY = eu._fwd_blocks(X, Y, Z)
+    while BY > 2:
+        slabs = (BX + 16) * (BY + 2) * Z * 104
+        store = 4 * 3 * (BY * Z * (BX + PX) + Z * (BX + PX))
+        # 14M, not the forwards' 15M: BX=16/BY=32 at Z=128 passes a 15M
+        # budget on paper but Mosaic wants 16.23M (measured overflow)
+        if slabs + store <= 14 * 1024 * 1024:
+            break
+        BY //= 2
+    return BX, BY
+
+
+def _adstar_fwd_pr(ppad, mpad, X, Y, Z, want_mw=False):
+    N = ppad.shape[0]
+    BX, BY = _fwd_blocks_mw(X, Y, Z) if want_mw else eu._fwd_blocks(X, Y, Z)
     BL = BY * Z
+    out_shape = [
+        jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 3, BX, BL),
+            lambda n, xb, yb: (n, 0, xb, yb),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1),
+            lambda n, xb, yb: (0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    scratch = [
+        pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+        pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+    ]
+    if want_mw:
+        # residual mw in the carry layout (manual DMA store, zero halos)
+        out_shape.append(jax.ShapeDtypeStruct(ppad.shape, ppad.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        res = pl.pallas_call(
+            partial(_adstar_fwd_kernel_pr_mw, BX, BY, Y, Z, X),
+            out_shape=out_shape,
+            grid=(N, X // BX, Y // BY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_specs=out_specs,
+            scratch_shapes=scratch + _out_scratch(BX, BY, Z) + [
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        )(ppad, mpad)
+        out, flags, mwpad = res
+        return out.reshape(N, 3, X, Y, Z), flags, mwpad
     out, flags = pl.pallas_call(
         partial(_adstar_fwd_kernel_pr, BX, BY, Y, Z),
-        out_shape=[
-            jax.ShapeDtypeStruct((N, 3, X, Y * Z), ppad.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         grid=(N, X // BX, Y // BY),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 3, BX, BL),
-                lambda n, xb, yb: (n, 0, xb, yb),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1),
-                lambda n, xb, yb: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+        out_specs=out_specs,
+        scratch_shapes=scratch + [
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(ppad, mpad)
@@ -419,7 +489,7 @@ def _compose_fwd_pr(ppad, v, s, X, Y, Z):
     return out, flags
 
 
-def _adstar_bwd_pr(ppad, mpad, gpad, X, Y, Z):
+def _adstar_bwd_pr(ppad, mpad, gpad, mwpad, X, Y, Z):
     N = ppad.shape[0]
     BX = eu._pick_bx_bwd(X)
     BY = eu._pick_by_bwd(Y, Z, BX)
@@ -430,17 +500,18 @@ def _adstar_bwd_pr(ppad, mpad, gpad, X, Y, Z):
             jax.ShapeDtypeStruct(ppad.shape, ppad.dtype),
         ],
         grid=(N, X // BX, Y // BY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
         ] + _out_scratch(BX, BY, Z) + [
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
-    )(ppad, mpad, gpad)
+    )(ppad, mpad, gpad, mwpad)
     return dp, dm
 
 
@@ -493,15 +564,15 @@ def ad_star_pr(ppad, mpad, X, Y, Z):
 
 
 def _adstar_pr_fwd(ppad, mpad, X, Y, Z):
-    m, flags = _adstar_fwd_pr(ppad, mpad, X, Y, Z)
-    return (m, flags), (ppad, mpad)
+    m, flags, mwpad = _adstar_fwd_pr(ppad, mpad, X, Y, Z, want_mw=True)
+    return (m, flags), (ppad, mpad, mwpad)
 
 
 def _adstar_pr_bwd(X, Y, Z, res, cts):
     g, _g_flags = cts  # flags are an indicator output: cotangent ignored
-    ppad, mpad = res
+    ppad, mpad, mwpad = res
     gpad = _zero_pad_g(g)
-    d_ppad, d_mpad = _adstar_bwd_pr(ppad, mpad, gpad, X, Y, Z)
+    d_ppad, d_mpad = _adstar_bwd_pr(ppad, mpad, gpad, mwpad, X, Y, Z)
     return d_ppad, d_mpad
 
 

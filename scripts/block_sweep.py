@@ -94,8 +94,10 @@ def main():
             if res % bx or res % by:
                 continue
             set_blocks(bx, 32 if res % 32 == 0 else 8, by)
-            def bwd(x):
-                return eu._adstar_bwd_fused_dispatch(x, m0, g)
+            # fixed stand-in mw residual: keeps the timed region bwd-only
+            # (values don't affect kernel runtime)
+            def bwd(x, mw=g * 0.5):
+                return eu._adstar_bwd_fused_dispatch(x, m0, g, mw)
             t = measure(bwd, mk_p)
             print(f"BX={bx:3d} BYb={by:3d}: {t if isinstance(t, str) else f'{t:7.2f} ms'}",
                   flush=True)

@@ -74,7 +74,8 @@ def main():
 
     cases = [
         ("adstar fwd", lambda pp: eu._adstar_fwd_dispatch(pp, m0)),
-        ("adstar bwd", lambda pp: eu._adstar_bwd_fused_dispatch(pp, m0, g)),
+        ("adstar bwd", lambda pp: eu._adstar_bwd_fused_dispatch(
+            pp, m0, g, eu._adstar_fwd_dispatch(pp, m0, want_mw=True)[1])),
         ("compose fwd", lambda pp: eu._compose_fwd_dispatch(pp, m0, 0.2)),
         ("compose bwd",
          lambda pp: eu._compose_bwd_fused_dispatch(pp, m0, 0.2, g)),

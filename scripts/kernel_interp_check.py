@@ -61,10 +61,12 @@ def main():
         m0 = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
         g = jnp.asarray(rng.standard_normal((B, 3) + sp), dtype=jnp.float32)
 
-        got = eu._adstar_fwd_dispatch(p, m0)
+        got, mw = eu._adstar_fwd_dispatch(p, m0, want_mw=True)
         ok &= check(f"adstar fwd {variant} {sp}", got, adstar_ref(p, m0), 5e-6)
+        ok &= check(f"adstar fwd mw residual {variant} {sp}", mw,
+                    sample_displacement_unit(m0, p), 5e-6)
 
-        bw = eu._adstar_bwd_fused_dispatch(p, m0, g)
+        bw = eu._adstar_bwd_fused_dispatch(p, m0, g, mw)
         assert bw is not None, f"adstar bwd dispatch missing for {sp}"
         _, vjp_r = jax.vjp(adstar_ref, p, m0)
         gr = vjp_r(g)

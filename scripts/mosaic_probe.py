@@ -29,7 +29,8 @@ m = jnp.asarray(rng.standard_normal(shp), dtype=jnp.float32)
 g = jnp.asarray(rng.standard_normal(shp), dtype=jnp.float32)
 
 if which == "adstar":
-    fn = jax.jit(lambda a, b, c: eu._adstar_bwd_fused_dispatch(a, b, c))
+    fn = jax.jit(lambda a, b, c: eu._adstar_bwd_fused_dispatch(
+        a, b, c, eu._adstar_fwd_dispatch(a, b, want_mw=True)[1]))
 else:
     fn = jax.jit(lambda a, b, c: eu._compose_bwd_fused_dispatch(a, b, 0.1, c))
 

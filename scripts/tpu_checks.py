@@ -257,7 +257,8 @@ def _quick_rest(rng, res, B, sp, ok):
     pb = jnp.asarray(rng.uniform(-1.0, 0.999, (1, 3) + spb), dtype=jnp.float32)
     mb = jnp.asarray(rng.standard_normal((1, 3) + spb), dtype=jnp.float32)
     gb = jnp.asarray(rng.standard_normal((1, 3) + spb), dtype=jnp.float32)
-    bw = eu._adstar_bwd_fused_dispatch(pb, mb, gb)
+    _, mwb = eu._adstar_fwd_dispatch(pb, mb, want_mw=True)
+    bw = eu._adstar_bwd_fused_dispatch(pb, mb, gb, mwb)
     assert bw is not None, "yb fused bwd dispatch did not engage"
     _, vjp_rb = jax.vjp(adstar_ref, pb, mb)
     grb = vjp_rb(gb)
