@@ -1285,38 +1285,34 @@ def _adstar_bwd_kernel_yb(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     Static lane slices at multiples of Z stay (8,128)-aligned since
     Z % 128 == 0.
 
-    NOT slab-double-buffered: the round-3 variant sat on the scoped-vmem
-    cliff and the doubled slot axis overflowed (measured); with mw external
-    the live set is leaner, but plain start-all/wait-all remains the
-    conservative fit."""
+    Slab-double-buffered (round 4): the round-3 variant's doubled slot axis
+    overflowed scoped vmem, but with mw external and the level-4 body
+    (Wc/dWc dropped) the live set fits, and the split probe showed ~77%%
+    of the kernel in DMA-stall + shared prep."""
     BXW = BX + 16
     WL2 = (BY + 4) * Z
     SL = (BY + 2) * Z
     BL = BY * Z
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
+    n, xb, yb, L, T, ids = _yb_linear_step()
 
-    win2 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
-    win1 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, SL))
-    cps = [
-        pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
-        for i, (ref, slab, win) in enumerate(
-            ((ppad_ref, p_slab, win2), (mpad_ref, m_slab, win1),
-             (gpad_ref, g_slab, win1), (mwpad_ref, mw_slab, win1))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        base = (nq, slice(None), pl.ds(xbq * BX, BXW))
+        return [base + (pl.ds(ybq * BL, WL2),)] + [
+            base + (pl.ds(ybq * BL, SL),)
+        ] * 3
+
+    slot = _db_slabs(
+        (ppad_ref, mpad_ref, gpad_ref, mwpad_ref),
+        (p_slab, m_slab, g_slab, mw_slab), sems, window, L, T,
+    )
 
     def emit_dm(dm):
         dm_ref[0] = dm
 
     dp_ref[0] = _adstar_yb_bwd_body(
-        BX, BY, Y, Z, X, xb, yb, p_slab[...], m_slab[...], g_slab[...],
-        mw_slab[...], emit_dm,
+        BX, BY, Y, Z, X, xb, yb, p_slab[slot], m_slab[slot], g_slab[slot],
+        mw_slab[slot], emit_dm,
     )
 
 
@@ -1367,9 +1363,10 @@ def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
         BX = wu._pick_block(X, Y * Z)
         # Scoped-vmem envelope: the round-3 merged kernel wanted 26M at
         # 64^3 (vs the 16M limit) with the in-kernel mw enumeration; with
-        # mw external the live set is leaner but window-sized weights and
-        # d_mw remain — the envelope below is the measured round-4 fit.
-        if (BX + 16) * Y * Z > 50_000:
+        # mw external the live set is leaner — 64^3 (98,304 window lanes)
+        # compiles, validates, and beats the composed fallback 5.10 vs
+        # 6.70 ms fwd+bwd at b4 (scripts/wholey64_probe.py, round 4).
+        if (BX + 16) * Y * Z > 100_000:
             return None
         ppad = jnp.pad(p, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
         mpad = jnp.pad(m0b, xw, mode="edge").reshape(N, 3, X + 16, Y * Z)
@@ -1397,6 +1394,12 @@ def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
                 pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
+            # the 16M default scoped-vmem limit is artificial (v5e has
+            # 128M physical; fft_unit runs at 96M) — raising it is what
+            # lets the whole-Y 64^3 backward and larger y-blocks compile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(ppad, mpad, gpad, mwpad)
         return dp.reshape(p.shape), dm.reshape(p.shape)
     if wu.yblocked_supported(shp, p.shape, p.dtype) and _pick_by_bwd(
@@ -1427,12 +1430,18 @@ def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
                 )
             ] * 2,
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 4) * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ],
+            # the 16M default scoped-vmem limit is artificial (v5e has
+            # 128M physical; fft_unit runs at 96M) — raising it is what
+            # lets the whole-Y 64^3 backward and larger y-blocks compile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(ppad, mpad, gpad, mwpad)
         return dp.reshape(p.shape), dm.reshape(p.shape)
     amounts = wu._pad_amounts(X, Y, Z)
@@ -1896,6 +1905,12 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
                 pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
+            # the 16M default scoped-vmem limit is artificial (v5e has
+            # 128M physical; fft_unit runs at 96M) — raising it is what
+            # lets the whole-Y 64^3 backward and larger y-blocks compile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(ppad, vpad, gpad)
         return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
     if wu.yblocked_supported(shp, v.shape, v.dtype) and _pick_by_cbwd(
@@ -1929,6 +1944,12 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
                 pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
+            # the 16M default scoped-vmem limit is artificial (v5e has
+            # 128M physical; fft_unit runs at 96M) — raising it is what
+            # lets the whole-Y 64^3 backward and larger y-blocks compile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(ppad, vpad, gpad)
         return dp.reshape(phiinv.shape), dv.reshape(phiinv.shape)
     amounts = wu._pad_amounts(X, Y, Z)

@@ -304,34 +304,31 @@ def _adstar_bwd_kernel_pr(BX, BY, Y, Z, X, ppad_ref, mpad_ref, gpad_ref,
     WL2 = (BY + 4) * Z
     SL = (BY + 2) * Z
     BL = BY * Z
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
-    yb = pl.program_id(2)
+    n, xb, yb, L, T, ids = wu._yb_linear_step()
 
     # PY == 2: the 2-halo window IS the layout window (no lane offset);
-    # the 1-halo windows (m0, g, residual mw) sit +Z lanes in
-    win2 = (n, slice(None), pl.ds(xb * BX, BXW), pl.ds(yb * BL, WL2))
-    win1 = (n, slice(None), pl.ds(xb * BX, BXW),
-            pl.ds(yb * BL + (PY - 1) * Z, SL))
-    cps = [
-        pltpu.make_async_copy(ref.at[win], slab, sems.at[i])
-        for i, (ref, slab, win) in enumerate(
-            ((ppad_ref, p_slab, win2), (mpad_ref, m_slab, win1),
-             (gpad_ref, g_slab, win1), (mwpad_ref, mw_slab, win1))
-        )
-    ]
-    for c in cps:
-        c.start()
-    for c in cps:
-        c.wait()
+    # the 1-halo windows (m0, g, residual mw) sit +Z lanes in.
+    # Slab-double-buffered like the unpadded yb backward (round 4: the
+    # split probe put ~77% of the kernel in DMA stall + shared prep).
+    def window(Lq):
+        nq, xbq, ybq = ids(Lq)
+        base = (nq, slice(None), pl.ds(xbq * BX, BXW))
+        return [base + (pl.ds(ybq * BL, WL2),)] + [
+            base + (pl.ds(ybq * BL + (PY - 1) * Z, SL),)
+        ] * 3
+
+    slot = wu._db_slabs(
+        (ppad_ref, mpad_ref, gpad_ref, mwpad_ref),
+        (p_slab, m_slab, g_slab, mw_slab), sems, window, L, T,
+    )
 
     def emit_dm(dm):
         _store_padded(dm_ref, n, xb, yb, X, Y, Z, BX, BY, dm,
                       obuf, hx, hy, hc, osem.at[0], edge=False)
 
     dp = eu._adstar_yb_bwd_body(
-        BX, BY, Y, Z, X, xb, yb, p_slab[...], m_slab[...], g_slab[...],
-        mw_slab[...], emit_dm,
+        BX, BY, Y, Z, X, xb, yb, p_slab[slot], m_slab[slot], g_slab[slot],
+        mw_slab[slot], emit_dm,
     )
     _store_padded(dp_ref, n, xb, yb, X, Y, Z, BX, BY, dp,
                   obuf, hx, hy, hc, osem.at[0], edge=False)
@@ -503,14 +500,17 @@ def _adstar_bwd_pr(ppad, mpad, gpad, mwpad, X, Y, Z):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((3, BX + 16, (BY + 4) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
-            pltpu.VMEM((3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 4) * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
+            pltpu.VMEM((2, 3, BX + 16, (BY + 2) * Z), jnp.float32),
         ] + _out_scratch(BX, BY, Z) + [
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(ppad, mpad, gpad, mwpad)
     return dp, dm
 
@@ -544,6 +544,9 @@ def _compose_bwd_pr(ppad, vpad, gpad, s, X, Y, Z):
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(ppad, vpad, gpad)
     return dp, dv.reshape(N, 3, X, Y, Z)
 

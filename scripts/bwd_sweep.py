@@ -104,6 +104,22 @@ def main():
             msg = t if isinstance(t, str) else f"{t:7.2f} ms"
             print(f"preroll={lvl}: {msg}", flush=True)
 
+    if which == "db":
+        # A/B the slab double-buffering of the adstar yb backward
+        print(f"=== adstar bwd DMA pipeline A/B (res {res}, b{B}) ===",
+              flush=True)
+        for on in (False, True):
+            wu.set_pipeline_slabs(on)
+            t = measure(
+                lambda x, m0, g, mw: eu._adstar_bwd_fused_dispatch(
+                    x, m0, g, mw
+                ),
+                mk_p, (m0, g, mw),
+            )
+            msg = t if isinstance(t, str) else f"{t:7.2f} ms"
+            print(f"pipeline={'on' if on else 'off'}: {msg}", flush=True)
+        wu.set_pipeline_slabs(True)
+
     if which == "cpreroll":
         print(f"=== compose bwd preroll A/B (res {res}, b{B}) ===", flush=True)
         for lvl in (0, 3):
