@@ -755,30 +755,25 @@ def _adstar_bwd_kernel(BX, Y, Z, X, ppad_ref, mpad_ref, gpad_ref, mwpad_ref,
     """whole-Y fused Ad* backward (one (n, x-block) per grid step).  The
     warped momentum arrives as a forward residual (``mwpad_ref``): the
     27-tap warp re-enumeration that dominated the round-3 kernel's VPU time
-    and scoped-vmem live set is gone."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
+    and scoped-vmem live set is gone.  Slab-double-buffered (round 4, under
+    the raised vmem limit)."""
+    (n, xb), L, T, ids = _grid_linear_step(2)
     YZ = Y * Z
     BXW = BX + 16
 
-    cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
-        )
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (mpad_ref, m_slab), (gpad_ref, g_slab),
-             (mwpad_ref, mw_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    def window(Lq):
+        nq, xbq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BXW), slice(None))
 
-    psl = p_slab[...]  # (3, BXW, YZ) edge-padded
-    msl = m_slab[...]  # edge-padded
-    gsl = g_slab[...]  # zero-padded
-    mwsl = mw_slab[...]  # zero-padded (domain-edge taps are masked)
+    slot = _db_slabs(
+        (ppad_ref, mpad_ref, gpad_ref, mwpad_ref),
+        (p_slab, m_slab, g_slab, mw_slab), sems, window, L, T,
+    )
+
+    psl = p_slab[slot]  # (3, BXW, YZ) edge-padded
+    msl = m_slab[slot]  # edge-padded
+    gsl = g_slab[slot]  # zero-padded
+    mwsl = mw_slab[slot]  # zero-padded (domain-edge taps are masked)
 
     shape_w = (3, BXW, YZ)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_w, 2)
@@ -1388,11 +1383,11 @@ def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
                 )
             ] * 2,
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ],
             # the 16M default scoped-vmem limit is artificial (v5e has
             # 128M physical; fft_unit runs at 96M) — raising it is what
@@ -1468,28 +1463,24 @@ def _adstar_bwd_fused_dispatch(p, m0b, g, mw):
 
 def _compose_bwd_kernel(BX, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
                         dp_ref, dv_ref, p_slab, v_slab, g_slab, sems):
-    """whole-Y fused composition backward."""
-    n = pl.program_id(0)
-    xb = pl.program_id(1)
+    """whole-Y fused composition backward.  Slab-double-buffered (round 4,
+    under the raised vmem limit)."""
+    (n, xb), L, T, ids = _grid_linear_step(2)
     YZ = Y * Z
     BXW = BX + 16
 
-    cps = [
-        pltpu.make_async_copy(
-            ref.at[n, :, pl.ds(xb * BX, BXW), :], slab, sems.at[i]
-        )
-        for i, (ref, slab) in enumerate(
-            ((ppad_ref, p_slab), (vpad_ref, v_slab), (gpad_ref, g_slab))
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    def window(Lq):
+        nq, xbq = ids(Lq)
+        return (nq, slice(None), pl.ds(xbq * BX, BXW), slice(None))
 
-    psl = p_slab[...]       # edge-padded
-    dsl = s * v_slab[...]   # effective displacement at all window rows
-    gsl = g_slab[...]       # zero-padded
+    slot = _db_slabs(
+        (ppad_ref, vpad_ref, gpad_ref),
+        (p_slab, v_slab, g_slab), sems, window, L, T,
+    )
+
+    psl = p_slab[slot]       # edge-padded
+    dsl = s * v_slab[slot]   # effective displacement at all window rows
+    gsl = g_slab[slot]       # zero-padded
 
     shape_w = (3, BXW, YZ)
     lane_w = jax.lax.broadcasted_iota(jnp.int32, shape_w, 2)
@@ -1900,10 +1891,10 @@ def _compose_bwd_fused_dispatch(phiinv, v, s, g):
                 )
             ] * 2,
             scratch_shapes=[
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.VMEM((3, BX + 16, Y * Z), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.VMEM((2, 3, BX + 16, Y * Z), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
             # the 16M default scoped-vmem limit is artificial (v5e has
             # 128M physical; fft_unit runs at 96M) — raising it is what

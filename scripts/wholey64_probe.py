@@ -59,61 +59,10 @@ def main():
     t_composed = timed(jcomposed, p)
     print(f"composed fwd+bwd @ {X}x{Y}x{Z} b{B}: {t_composed:.2f} ms", flush=True)
 
-    # raise the whole-Y envelope and try the fused kernel
-    src = eu._adstar_bwd_fused_dispatch.__code__  # noqa: F841 (doc aid)
-    import lagomorph_tpu.ops.pallas.warp_unit as wu
-    BX = wu._pick_block(X, Y * Z)
-    print(f"whole-Y BX={BX}, window lanes (BX+16)*Y*Z = {(BX+16)*Y*Z}",
-          flush=True)
-
-    orig = eu._adstar_bwd_fused_dispatch
-
-    # patch: swap the 50_000 gate for the probe envelope by shadowing the
-    # dispatch with a copy that calls the kernel directly
-    import functools
-
-    def probe_dispatch(p_, m_, g_, mw_):
-        import jax.numpy as jnpp
-        N = p_.shape[0]
-        X_, Y_, Z_ = p_.shape[2:]
-        xw = [(0, 0), (0, 0), (8, 8), (0, 0), (0, 0)]
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        BX_ = wu._pick_block(X_, Y_ * Z_)
-        if (BX_ + 16) * Y_ * Z_ > envelope:
-            return None
-        ppad = jnpp.pad(p_, xw, mode="edge").reshape(N, 3, X_ + 16, Y_ * Z_)
-        mpad = jnpp.pad(m_, xw, mode="edge").reshape(N, 3, X_ + 16, Y_ * Z_)
-        gpad = jnpp.pad(g_, xw).reshape(N, 3, X_ + 16, Y_ * Z_)
-        mwpad = jnpp.pad(mw_, xw).reshape(N, 3, X_ + 16, Y_ * Z_)
-        dp, dm = pl.pallas_call(
-            functools.partial(eu._adstar_bwd_kernel, BX_, Y_, Z_, X_),
-            out_shape=[
-                jax.ShapeDtypeStruct((N, 3, X_, Y_ * Z_), p_.dtype),
-                jax.ShapeDtypeStruct((N, 3, X_, Y_ * Z_), p_.dtype),
-            ],
-            grid=(N, X_ // BX_),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 3, BX_, Y_ * Z_),
-                    lambda n, xb: (n, 0, xb, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ] * 2,
-            scratch_shapes=[
-                pltpu.VMEM((3, BX_ + 16, Y_ * Z_), jnp.float32),
-                pltpu.VMEM((3, BX_ + 16, Y_ * Z_), jnp.float32),
-                pltpu.VMEM((3, BX_ + 16, Y_ * Z_), jnp.float32),
-                pltpu.VMEM((3, BX_ + 16, Y_ * Z_), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
-        )(ppad, mpad, gpad, mwpad)
-        return dp.reshape(p_.shape), dm.reshape(p_.shape)
-
+    # the dispatch gate covers 64^3 since round 4 (100k window lanes)
     def fused_bwd(p_):
         _, mw = eu._adstar_fwd_dispatch(p_, m, want_mw=True)
-        res = probe_dispatch(p_, m, g, mw)
+        res = eu._adstar_bwd_fused_dispatch(p_, m, g, mw)
         assert res is not None
         return res
 
