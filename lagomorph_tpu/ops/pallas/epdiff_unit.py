@@ -1324,24 +1324,28 @@ def set_fused_adstar_bwd(enabled: bool):
 
 
 def _pick_bx_bwd(X: int) -> int:
-    """x-block for the y-blocked backward.  Bigger blocks amortize the
-    8-row DMA-alignment x-halo: measured at 128^3 b4 (block_sweep, after
-    the 3-accumulator restructure) BX=32/BY=8 -> 5.54 ms vs BX=8/BY=8 ->
-    7.27 ms."""
-    for bx in (32, 16, 8):
+    """x-block for the y-blocked backwards.  Round-4 sweep on the
+    double-buffered mw-residual kernels (scripts/bwd_sweep.py, same-run):
+    128^3 b4 Ad* wants BX=16 (16/8 -> 4.49 ms vs 32/8 -> 5.19) and so does
+    the compose bwd (16/32 -> 3.17 vs 32/8 -> 4.62); 256^3 b1 flips to
+    BX=32 (32/16 -> 10.00 vs 16/16 -> 11.25) — the 8-row DMA-alignment
+    x-halo amortizes better once the per-lane slab is 2x wider."""
+    order = (32, 16, 8) if X >= 256 else (16, 32, 8)
+    for bx in order:
         if X % bx == 0:
             return bx
     return 0
 
 
 def _pick_by_bwd(Y: int, Z: int, BX: int = 16) -> int:
-    """y-block for the y-blocked backward.  Budget: (BX+16)*(BY+4)*Z window
-    lanes <= 90k — the measured scoped-vmem envelope after the round-3
-    restructure (3 live d_m0 accumulators instead of 9): BX=16/BY=16 at
-    Z=128 (81,920) compiles, BX=8/BY=32 (110,592) and BX=32/BY=16
-    (122,880) do not."""
-    for by in (16, 8, 4, 2):
-        if Y % by == 0 and (BX + 16) * (by + 4) * Z <= 90_000:
+    """y-block for the y-blocked Ad* backward.  Budget: (BX+16)*(BY+4)*Z
+    window lanes <= 250k under the raised 64M scoped-vmem limit (BX=32/
+    BY=16 at Z=256 = 245,760 compiles and is the measured 256^3 optimum).
+    At Z=128 BY=8 beats BY=16 (4.49 vs 5.43 ms, bwd_sweep round 4) — more
+    grid steps, but the leaner live set pipelines better."""
+    order = (16, 8, 4, 2) if Z >= 256 else (8, 16, 4, 2)
+    for by in order:
+        if Y % by == 0 and (BX + 16) * (by + 4) * Z <= 250_000:
             return by
     return 0
 
@@ -1852,12 +1856,14 @@ def _compose_bwd_kernel_yb(BX, BY, Y, Z, X, s, ppad_ref, vpad_ref, gpad_ref,
 
 def _pick_by_cbwd(Y: int, Z: int, BX: int = 16) -> int:
     """y-block for the fused compose backward (1-voxel y halo).  Budget:
-    ``(BX+16)*(BY+2)*Z <= 105k`` window lanes — the measured round-3
-    envelope at Z=128 (BX=8/BY=32 = 104,448 compiles; BX=16/BY=32 and
-    BX=32/BY=16 do not).  Timings at 128^3 b4: BX=32/BY=8 4.27 ms ~=
-    BX=16/BY=16 4.18 ms, from ~6-8 ms in round 2."""
+    ``(BX+16)*(BY+2)*Z <= 250k`` window lanes under the raised 64M
+    scoped-vmem limit.  Round-4 sweep at 128^3 b4 (double-buffered
+    kernels, same run): BX=16/BY=32 -> 3.17 ms vs BX=32/BY=8 -> 4.62 —
+    the tall y-block amortizes the x-halo reads across 4x the output
+    rows and the compose bwd's lighter live set tolerates it (the Ad*
+    bwd does not; see _pick_by_bwd)."""
     for by in (32, 16, 8, 4, 2):
-        if Y % by == 0 and (BX + 16) * (by + 2) * Z <= 105_000:
+        if Y % by == 0 and (BX + 16) * (by + 2) * Z <= 250_000:
             return by
     return 0
 
