@@ -240,8 +240,20 @@ def _expmap_hoisted(metric, m0, dt, length, phiinv0, mommask, checkpoints,
     ``fused``: the ``(ad_star, compose)`` kernel pair for this
     dimensionality (3D epdiff_unit or 2D epdiff2d)."""
     from .ops.pallas import padres as pr
+    from .ops.pallas import shoot2d as s2
 
-    if pr.supported(m0.shape, m0.dtype):
+    if (
+        mommask is None
+        and isinstance(metric, FluidMetric)
+        and isinstance(dt, (int, float))
+        and s2.supported(m0.shape, m0.dtype, metric.params, int(length))
+    ):
+        # 2D whole-shoot mega-kernel: the full integration in ONE kernel
+        # launch (fields VMEM-resident, in-kernel MXU-DFT fluid solve) —
+        # at 2D bench shapes the per-op kernels are dispatch-bound.
+        fast, okf = s2.shoot2d(phiinv0, m0, metric.params, -dt, int(length))
+        ok = okf[0, 0] > 0.5
+    elif pr.supported(m0.shape, m0.dtype):
         fast, ok = _expmap_fast_padres(
             metric, m0, dt, length, phiinv0, mommask, checkpoints
         )

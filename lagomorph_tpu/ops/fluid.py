@@ -497,6 +497,39 @@ def set_fluid_fft_kernel(mode):
     return prev
 
 
+_MXU_WHOLE = False  # measured SLOWER than the 3-kernel pipeline (below)
+
+
+def set_fluid_mxu_whole(mode):
+    """Select the whole-volume one-kernel MXU-DFT fluid path: True, False,
+    or "auto" (use when fft_unit.mxu_whole_supported).  Trace-time flag.
+
+    Default False: on v5e the one-kernel path LOST to the three-kernel
+    pipeline at its own target shape (64^3 b4, same-run scan-amortized:
+    sharp fwd 0.78 vs 0.15 ms, fwd+bwd 1.44 vs 0.63 — scripts/fft_probe6.py)
+    — the per-y-plane x-stage loop serializes small matmuls where the
+    three-kernel pipeline batches whole (Y*Z)-merged panels onto the MXU.
+    Kept as an opt-in probe surface for backends with higher kernel-launch
+    cost."""
+    global _MXU_WHOLE
+    assert mode in (True, False, "auto")
+    prev = _MXU_WHOLE
+    _MXU_WHOLE = mode
+    return prev
+
+
+def _use_mxu_whole(spatial, dtype):
+    if _MXU_WHOLE is False:
+        return False
+    if _MXU_WHOLE is True:  # forced (probe surface) — bypasses the gate
+        return True
+    try:
+        from .pallas import fft_unit
+    except Exception:  # pragma: no cover
+        return False
+    return fft_unit.mxu_whole_supported(tuple(spatial), dtype)
+
+
 def _fft_kernel_mode(spatial, dtype):
     """Which Pallas fluid-FFT kernel to use: "mxu", "radix", or None."""
     if _FFT_KERNEL is False:
@@ -537,7 +570,14 @@ def _fluid_apply_packed(mv, params, inverse, mode):
             )[(0, 0)]
             fwd = tuple(_dft_pair(nn, jnp.float32, False) for nn in spatial)
             inv = tuple(_dft_pair(nn, jnp.float32, True) for nn in spatial)
-            re, im = fft_unit.fluid_flat_mxu(x[:half], x[half:], Mn, fwd, inv)
+            if _use_mxu_whole(spatial, mv.dtype):
+                re, im = fft_unit.fluid_flat_mxu_whole(
+                    x[:half], x[half:], Mn, fwd, inv
+                )
+            else:
+                re, im = fft_unit.fluid_flat_mxu(
+                    x[:half], x[half:], Mn, fwd, inv
+                )
         else:
             Mbr = _fluid_multiplier_traced(
                 spatial, params, inverse, jnp.float32,

@@ -281,6 +281,92 @@ def main():
         ok &= check(f"mxu fluid re {spf}", re, jnp.asarray(ref.real), 2e-3)
         ok &= check(f"mxu fluid im {spf}", im, jnp.asarray(ref.imag), 2e-3)
 
+    # whole-volume one-kernel MXU-DFT fluid path (incl. the Z=64 geometry
+    # the three-kernel gates used to exclude)
+    for spf in ((16, 8, 128), (16, 16, 64)):
+        F = 3
+        x1 = jnp.asarray(rng.standard_normal((F,) + spf), jnp.float32)
+        x2 = jnp.asarray(rng.standard_normal((F,) + spf), jnp.float32)
+        Mn = jnp.asarray(rng.uniform(0.5, 2.0, spf), jnp.float32)
+        fwd = tuple(fl._dft_pair(n, jnp.float32, False) for n in spf)
+        inv = tuple(fl._dft_pair(n, jnp.float32, True) for n in spf)
+        re, im = fu.fluid_flat_mxu_whole(x1, x2, Mn, fwd, inv)
+        z = np.fft.fftn(np.asarray(x1) + 1j * np.asarray(x2), axes=(1, 2, 3))
+        ref = np.fft.ifftn(np.asarray(Mn)[None] * z, axes=(1, 2, 3))
+        ok &= check(f"mxu whole fluid re {spf}", re, jnp.asarray(ref.real),
+                    2e-3)
+        ok &= check(f"mxu whole fluid im {spf}", im, jnp.asarray(ref.imag),
+                    2e-3)
+
+    # ---- 2D whole-shoot mega-kernel (shoot2d) --------------------------
+    import lagomorph_tpu.ops.pallas.shoot2d as s2
+
+    sp2 = (16, 128)
+    B = 2
+    Tn = 3
+    dt = 0.25
+    metric2 = lm.FluidMetric([0.1, 0.0, 0.01])
+    ms2 = jnp.asarray(rng.standard_normal((B, 2) + sp2) * 5e-4,
+                      dtype=jnp.float32)
+    assert s2.supported(ms2.shape, ms2.dtype, metric2.params, Tn), \
+        "shoot2d gate closed for test shape"
+    v02 = metric2.sharp(ms2)
+    pp0 = (-dt) * v02
+    fused2 = L._hoisted_fused_pair(ms2)
+
+    def loss_s2(m_):
+        h, okf = s2.shoot2d(pp0, m_, metric2.params, -dt, Tn)
+        return jnp.sum(h * h), (h, okf)
+
+    def loss_f2(m_):
+        h, okf = L._expmap_fast_flagged(metric2, m_, dt, Tn, pp0, None,
+                                        False, fused2)
+        return jnp.sum(h * h), (h, okf)
+
+    (l2, (h2, ok2)), g2 = jax.value_and_grad(loss_s2, has_aux=True)(ms2)
+    (lr2, (hr2, okr2)), gr2 = jax.value_and_grad(loss_f2, has_aux=True)(ms2)
+    # fluid numerics differ (in-kernel DFT matmuls vs XLA fftn): scale the
+    # tolerance to the field/gradient magnitudes, not roundoff
+    hs = max(1e-30, float(jnp.abs(hr2).max()))
+    gs = max(1e-30, float(jnp.abs(gr2).max()))
+    ok &= check("shoot2d expmap phiinv", h2, hr2, 5e-4 * hs)
+    ok &= check("shoot2d expmap loss", jnp.asarray(l2), jnp.asarray(lr2),
+                1e-3 * max(1e-30, abs(float(lr2))))
+    ok &= check("shoot2d expmap grad d_m0", g2, gr2, 1e-3 * gs)
+    flag2 = (float(ok2[0, 0]) > 0.5) == bool(okr2)
+    print(f"{'shoot2d in-unit flag agreement':46s}            "
+          f"{'ok' if flag2 else 'FAIL'}")
+    ok &= flag2
+
+    # grad wrt the initial phiinv (the peeled first step feeds this)
+    def loss_s2p(p_):
+        h, _ = s2.shoot2d(p_, ms2, metric2.params, -dt, Tn)
+        return jnp.sum(h * h)
+
+    def loss_f2p(p_):
+        h, _ = L._expmap_fast_flagged(metric2, ms2, dt, Tn, p_, None,
+                                      False, fused2)
+        return jnp.sum(h * h)
+
+    gp2 = jax.grad(loss_s2p)(pp0)
+    gpr2 = jax.grad(loss_f2p)(pp0)
+    gps = max(1e-30, float(jnp.abs(gpr2).max()))
+    ok &= check("shoot2d expmap grad d_phiinv0", gp2, gpr2, 1e-3 * gps)
+
+    # out-of-regime flag trips
+    _, okbad = s2.shoot2d(pp0.at[0, 0, 3, 7].set(1.5), ms2,
+                          metric2.params, -dt, Tn)
+    flagbad = float(okbad[0, 0]) < 0.5
+    print(f"{'shoot2d out-of-unit flag (expect 0)':46s} "
+          f"{float(okbad[0, 0]):9.2f}  {'ok' if flagbad else 'FAIL'}")
+    ok &= flagbad
+
+    # broadcast momentum (atlas-style shared m0)
+    h_b, _ = s2.shoot2d(pp0, ms2[:1], metric2.params, -dt, Tn)
+    h_bb, _ = s2.shoot2d(pp0, jnp.broadcast_to(ms2[:1], ms2.shape),
+                         metric2.params, -dt, Tn)
+    ok &= check("shoot2d broadcast m0", h_b, h_bb, 1e-12)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
