@@ -15,9 +15,13 @@ identity behind ops/fluid's packed-pair path).
 The warp/compose tap math reuses :mod:`epdiff2d`'s weight formulas
 (`_w2`/`_dw2`/`_ztap`) on whole-(H, W) planes — rolls with CLAMP edge fixes
 on BOTH axes replace the x-halo slabs, so no padding exists anywhere.  The
-backward is a second mega-kernel: it replays the forward trajectory into
-VMEM scratch (T x 0.5 MB) and runs the reverse sweep (compose-bwd ->
+backward is a second mega-kernel running the reverse sweep (compose-bwd ->
 fluid (self-adjoint) -> Ad*-bwd) without ever touching HBM between steps.
+The forward kernel stashes the trajectory (phiinv_t, v_t, and the pre-
+Jacobian warped momentum mw_t) as extra HBM outputs that the custom-VJP
+carries as residuals: the backward neither replays the forward nor
+recomputes mw — the round-4 3D finding (the stencil backwards are
+ROLL-bound, not mult-bound) says those recomputes were the kernel's cost.
 
 Semantics mirror lddmm._expmap_fast_flagged exactly (same reference
 discretization: interp.cu trilinear CLAMP + diff.cu central differences,
@@ -115,7 +119,9 @@ def _flag_of(d):
 def _adstar_body(H, W, phiinv, m0):
     """m_c = sum_a (D_a phiinv_c + delta_ca) m0_a(x + phiinv(x)); per-tap
     association matches epdiff2d._adstar2d_fwd_kernel for bit-identical
-    results in the unit regime."""
+    results in the unit regime.  Returns ``(m, mw)`` — the backward kernel
+    consumes the stashed pre-Jacobian warp ``mw`` instead of recomputing
+    its 12 rolls."""
     shape = (2, H, W)
     z_idx = e2._lane_idx(shape)
     r_idx = _row_idx(shape)
@@ -130,7 +136,7 @@ def _adstar_body(H, W, phiinv, m0):
             mw = mw + (wx * Wd[(1, oz)]) * tap
     Jx = 0.5 * (_xtap(d, 1, r_idx, H) - _xtap(d, -1, r_idx, H))
     Jz = 0.5 * (e2._ztap(d, 1, W, z_idx, W) - e2._ztap(d, -1, W, z_idx, W))
-    return mw + Jx * mw[0][None] + Jz * mw[1][None]
+    return mw + Jx * mw[0][None] + Jz * mw[1][None], mw
 
 
 def _compose_body(H, W, s, phiinv, v):
@@ -167,9 +173,11 @@ def _fluid_body(m, Mn, mats):
     return jnp.stack([re, im])
 
 
-def _adstar_bwd_body(H, W, phiinv, m0, g):
+def _adstar_bwd_body(H, W, phiinv, m0, g, mw):
     """Whole-plane transcription of epdiff2d._adstar2d_bwd_kernel: returns
-    (d_phiinv, d_m0) for cotangent g of the transported momentum."""
+    (d_phiinv, d_m0) for cotangent g of the transported momentum.  ``mw``
+    is the forward's stashed pre-Jacobian warp (used by the divergence
+    path) — passing it in drops 12 rolls per reverse step."""
     shape = (2, H, W)
     z_idx = e2._lane_idx(shape)
     r_idx = _row_idx(shape)
@@ -181,14 +189,6 @@ def _adstar_bwd_body(H, W, phiinv, m0, g):
     Wd = {(a, o): e2._w2(phiinv, a, o) for a in range(2) for o in (-1, 0, 1)}
     DW = {(a, o): e2._dw2(phiinv, a, o) for a in range(2) for o in (-1, 0, 1)}
 
-    # mw (for the divergence path) and J
-    mw = jnp.zeros(shape, dtype=phiinv.dtype)
-    for ox in (-1, 0, 1):
-        xt = _xtap(m0, ox, r_idx, H)
-        wx = Wd[(0, ox)]
-        for oz in (-1, 0, 1):
-            tap = e2._ztap(xt, oz, W, z_idx, W)
-            mw = mw + (wx * Wd[(1, oz)]) * tap
     Jx = 0.5 * (_xtap(phiinv, 1, r_idx, H) - _xtap(phiinv, -1, r_idx, H))
     Jz = 0.5 * (
         e2._ztap(phiinv, 1, W, z_idx, W) - e2._ztap(phiinv, -1, W, z_idx, W)
@@ -319,9 +319,11 @@ def _compose_bwd_body(H, W, s, phiinv, v, g):
 # ---------------------------------------------------------------------------
 
 
-def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *mat_refs):
-    out_ref, flag_ref = mat_refs[8], mat_refs[9]
-    mats = tuple(r[...] for r in mat_refs[:8])
+def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *rest):
+    mat_refs = rest[:8]
+    out_ref, flag_ref = rest[8], rest[9]
+    tp_ref, tv_ref, tm_ref = rest[10], rest[11], rest[12]
+    mats = tuple(r[...] for r in mat_refs)
     Mn = mn_ref[...]
     m0 = m0_ref[0]
     phiinv = p0_ref[0]
@@ -330,8 +332,11 @@ def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *mat_refs):
     ok = jnp.float32(1.0)
     for _t in range(T):
         ok = jnp.minimum(ok, _flag_of(phiinv))
-        m = _adstar_body(H, W, phiinv, m0)
+        tp_ref[0, _t] = phiinv
+        m, mw = _adstar_body(H, W, phiinv, m0)
+        tm_ref[0, _t] = mw
         v = _fluid_body(m, Mn, mats)
+        tv_ref[0, _t] = v
         ok = jnp.minimum(ok, _flag_of(s * v))
         phiinv = _compose_body(H, W, s, phiinv, v)
     out_ref[0] = phiinv
@@ -343,32 +348,24 @@ def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *mat_refs):
     flag_ref[0, 0] = jnp.minimum(flag_ref[0, 0], ok)
 
 
-def _shoot_bwd_kernel(T, s, H, W, m0_ref, p0_ref, g_ref, mn_ref, *rest):
+def _shoot_bwd_kernel(T, s, H, W, m0_ref, g_ref, mn_ref, *rest):
     mat_refs = rest[:8]
-    dm0_ref, dp0_ref = rest[8], rest[9]
-    traj_p, traj_v = rest[10], rest[11]
+    tp_ref, tv_ref, tm_ref = rest[8], rest[9], rest[10]
+    dm0_ref, dp0_ref = rest[11], rest[12]
     mats = tuple(r[...] for r in mat_refs)
     Mn = mn_ref[...]
     m0 = m0_ref[0]
 
-    # forward replay into VMEM scratch
-    phiinv = p0_ref[0]
-    for t in range(T):
-        traj_p[t] = phiinv
-        m = _adstar_body(H, W, phiinv, m0)
-        v = _fluid_body(m, Mn, mats)
-        traj_v[t] = v
-        phiinv = _compose_body(H, W, s, phiinv, v)
-
-    # reverse sweep
+    # reverse sweep over the forward's stashed trajectory (no replay)
     g = g_ref[0]
     dm0 = jnp.zeros((2, H, W), dtype=g.dtype)
     for t in reversed(range(T)):
-        p_t = traj_p[t]
-        v_t = traj_v[t]
+        p_t = tp_ref[0, t]
+        v_t = tv_ref[0, t]
+        mw_t = tm_ref[0, t]
         dp_prev, dv = _compose_bwd_body(H, W, s, p_t, v_t, g)
         dm = _fluid_body(dv, Mn, mats)  # K is self-adjoint
-        dpa, dm0_t = _adstar_bwd_body(H, W, p_t, m0, dm)
+        dpa, dm0_t = _adstar_bwd_body(H, W, p_t, m0, dm, mw_t)
         g = dp_prev + dpa
         dm0 = dm0 + dm0_t
     dm0_ref[0] = dm0

@@ -70,8 +70,12 @@ def main():
         )
 
     def mk_m():
+        # IN-REGIME momenta: sharp amplifies by 1/gamma^2 = 1e4, so 1e-3
+        # momenta produce ~10-voxel displacements, trip the validity flag
+        # and time the GENERAL-TIER fallback (the round-4 "906 ms expmap"
+        # mystery).  2e-6 matches bench2d's production regime.
         return jnp.asarray(
-            rng.standard_normal((B, 2) + sp) * 1e-3, dtype=jnp.float32
+            rng.standard_normal((B, 2) + sp) * 2e-6, dtype=jnp.float32
         )
 
     print(f"=== 2D step decomposition @ {res}^2 b{B} (K={K}) ===", flush=True)
@@ -114,6 +118,33 @@ def main():
             ),
             mk_m,
         )
+
+    # the shoot2d mega-kernels in isolation (what expmap(5) dispatches to)
+    import lagomorph_tpu.ops.pallas.shoot2d as s2
+
+    dt = 1.0 / 5
+
+    def mk_pp():
+        m = np.asarray(mk_m())
+        v0 = np.asarray(metric.sharp(jnp.asarray(m)))
+        return (-dt) * jnp.asarray(v0)
+
+    m5 = mk_m()
+    measure(
+        "shoot2d(5) kernel fwd",
+        lambda pp: s2.shoot2d(pp, m5, metric.params, -dt, 5)[0],
+        mk_pp,
+    )
+    pp5 = mk_pp()
+    measure(
+        "shoot2d(5) kernel fwd+bwd",
+        jax.grad(
+            lambda m: jnp.sum(
+                jnp.sin(s2.shoot2d(pp5, m, metric.params, -dt, 5)[0])
+            )
+        ),
+        mk_m,
+    )
 
     I = jnp.asarray(rng.standard_normal((1, 1) + sp), dtype=jnp.float32)
     img = jnp.asarray(rng.standard_normal((B, 1) + sp), dtype=jnp.float32)
