@@ -406,14 +406,31 @@ def _field_spec(H, W):
     )
 
 
+def _traj_spec(T, H, W):
+    return pl.BlockSpec(
+        (1, T, 2, H, W), lambda n: (n, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T):
+    """Returns ``(phiinv_T, flags, traj_phiinv, traj_v, traj_mw)``.
+
+    The three trajectory tensors (N, T, 2, H, W) are the forward's stashed
+    residuals: phiinv_t entering each step, the sharped velocity v_t, and
+    the pre-Jacobian warped momentum mw_t.  The backward consumes them
+    directly instead of replaying the forward (round-4 finding: the stencil
+    bodies are ROLL-bound, so the replay was ~half the backward's cost)."""
     N, _, H, W = phiinv0.shape
     Mn, mats = _spectral_inputs(H, W, params, phiinv0.dtype)
-    out, flags = pl.pallas_call(
+    traj = jax.ShapeDtypeStruct((N, T, 2, H, W), phiinv0.dtype)
+    out, flags, tp, tv, tm = pl.pallas_call(
         partial(_shoot_fwd_kernel, T, s, H, W),
         out_shape=[
             jax.ShapeDtypeStruct(phiinv0.shape, phiinv0.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            traj,
+            traj,
+            traj,
         ],
         grid=(N,),
         in_specs=[_field_spec(H, W)] * 2
@@ -422,56 +439,60 @@ def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T):
         out_specs=[
             _field_spec(H, W),
             pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
+            _traj_spec(T, H, W),
+            _traj_spec(T, H, W),
+            _traj_spec(T, H, W),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-    )(m0b, phiinv0, Mn, *mats)
-    return out, flags
-
-
-def _shoot_bwd_dispatch(phiinv0, m0b, g, params, s, T):
-    N, _, H, W = phiinv0.shape
-    Mn, mats = _spectral_inputs(H, W, params, phiinv0.dtype)
-    dm0, dp0 = pl.pallas_call(
-        partial(_shoot_bwd_kernel, T, s, H, W),
-        out_shape=[
-            jax.ShapeDtypeStruct(phiinv0.shape, phiinv0.dtype),
-            jax.ShapeDtypeStruct(phiinv0.shape, phiinv0.dtype),
-        ],
-        grid=(N,),
-        in_specs=[_field_spec(H, W)] * 3
-        + [_full_spec((H, W))]
-        + [_full_spec(m.shape) for m in mats],
-        out_specs=[_field_spec(H, W)] * 2,
-        scratch_shapes=[
-            pltpu.VMEM((T, 2, H, W), jnp.float32),
-            pltpu.VMEM((T, 2, H, W), jnp.float32),
-        ],
-        # the reverse sweep's live set (compose-bwd + Ad*-bwd temporaries
-        # over whole planes) scheduled at 68.8M @256^2 b8 T=4 — above the
-        # 64M default-ish cap, comfortably under the 128M physical
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(m0b, phiinv0, g, Mn, *mats)
+    )(m0b, phiinv0, Mn, *mats)
+    return out, flags, tp, tv, tm
+
+
+def _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T):
+    N, _, H, W = g.shape
+    Mn, mats = _spectral_inputs(H, W, params, g.dtype)
+    dm0, dp0 = pl.pallas_call(
+        partial(_shoot_bwd_kernel, T, s, H, W),
+        out_shape=[
+            jax.ShapeDtypeStruct(g.shape, g.dtype),
+            jax.ShapeDtypeStruct(g.shape, g.dtype),
+        ],
+        grid=(N,),
+        in_specs=[_field_spec(H, W)] * 2
+        + [_full_spec((H, W))]
+        + [_full_spec(m.shape) for m in mats]
+        + [_traj_spec(T, H, W)] * 3,
+        out_specs=[_field_spec(H, W)] * 2,
+        # the reverse sweep's live set (compose-bwd + Ad*-bwd temporaries
+        # over whole planes + the 3 T-step trajectory blocks) runs above
+        # the 64M default-ish cap at 256^2 T=5, comfortably under the
+        # 128M physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(m0b, g, Mn, *mats, tp, tv, tm)
     return dm0, dp0
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _shoot2d_cvjp(phiinv0, m0b, params, s, T):
-    return _shoot_fwd_dispatch(phiinv0, m0b, params, s, T)
+    out, flags, _tp, _tv, _tm = _shoot_fwd_dispatch(
+        phiinv0, m0b, params, s, T
+    )
+    return out, flags
 
 
 def _shoot2d_fwd(phiinv0, m0b, params, s, T):
-    out = _shoot_fwd_dispatch(phiinv0, m0b, params, s, T)
-    return out, (phiinv0, m0b)
+    out, flags, tp, tv, tm = _shoot_fwd_dispatch(phiinv0, m0b, params, s, T)
+    return (out, flags), (m0b, tp, tv, tm)
 
 
 def _shoot2d_bwd(params, s, T, res, cts):
     g, _g_flags = cts  # flags are an indicator output: cotangent ignored
-    phiinv0, m0b = res
-    dm0, dp0 = _shoot_bwd_dispatch(phiinv0, m0b, g, params, s, T)
+    m0b, tp, tv, tm = res
+    dm0, dp0 = _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T)
     return dp0, dm0
 
 
