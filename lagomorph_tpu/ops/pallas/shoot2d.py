@@ -63,8 +63,15 @@ def set_shoot2d(enabled: bool):
 
 def supported(p_shape, dtype, params, T) -> bool:
     """Gate: 2D f32 2-channel fields, lane-aligned W, sublane-aligned H,
-    a scalar (beta == 0) fluid multiplier, and a VMEM budget that keeps the
-    resident state + DFT matrices + backward trajectory under ~40 MB."""
+    a scalar (beta == 0) fluid multiplier, and a VMEM budget check.
+
+    The budget models the BACKWARD mega-kernel (the larger of the pair):
+    grid-indexed blocks (m0, g, THREE (T, 2, H, W) stashed trajectories —
+    phiinv/v/mw — and the two output fields) are double-buffered by the
+    Pallas pipeline, so they count twice; the DFT matrices and Mn are
+    grid-invariant (single-buffered); and the reverse-sweep body keeps
+    ~12 whole-plane temporaries live.  Headroom vs the 100 MB
+    vmem_limit_bytes the dispatches request is kept at ~20%."""
     if not (_ENABLED and _HAVE_PALLAS and wu.pallas_warp_enabled()):
         return False
     if dtype != jnp.float32:
@@ -78,11 +85,10 @@ def supported(p_shape, dtype, params, T) -> bool:
     H, W = p_shape[2:]
     if H % 8 or W % 128 or H > 512 or W > 512:
         return False
-    # live fields (~10 planes) + two T-step trajectories + mats + Mn
-    budget = (
-        (10 + 2 * T) * 2 * H * W + 8 * (H * H + W * W) + H * W
-    ) * 4
-    return budget <= 40 * 1024 * 1024
+    # field plane = (2, H, W) f32; double-buffered: 2 in + 3T traj + 2 out
+    planes = 2 * (2 + 3 * T + 2) + 12
+    budget = (planes * 2 * H * W + 8 * (H * H + W * W) + H * W) * 4
+    return budget <= 80 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ def test_transient_death_retried_in_fresh_process(benchmod, monkeypatch, capsys)
                         [dead, dead, _ok_worker()])
     assert rec["value"] == 10.0
     # same config retried: batch stayed 4, checkpoints stayed off
-    assert calls[1][-2:] == ["4", "0"] and calls[2][-2:] == ["4", "0"]
+    assert calls[1][-3:] == ["4", "0", "3"] and calls[2][-3:] == ["4", "0", "3"]
 
 
 def test_oom_falls_back_checkpoints_then_batch(benchmod, monkeypatch, capsys):
@@ -81,9 +81,9 @@ def test_oom_falls_back_checkpoints_then_batch(benchmod, monkeypatch, capsys):
         [oom, oom, _ok_worker(batch=2)],
     )
     assert rec["value"] == 10.0
-    assert calls[0][-2:] == ["4", "0"]   # first: batch 4, no checkpoints
-    assert calls[1][-2:] == ["4", "1"]   # OOM -> checkpoints on
-    assert calls[2][-2:] == ["2", "1"]   # OOM again -> batch halved
+    assert calls[0][-3:] == ["4", "0", "3"]  # first: batch 4, no checkpoints
+    assert calls[1][-3:] == ["4", "1", "3"]  # OOM -> checkpoints on
+    assert calls[2][-3:] == ["2", "1", "3"]  # OOM again -> batch halved
     assert rec["metric"].endswith("_b2")
 
 
@@ -109,3 +109,39 @@ def test_unknown_failure_gets_one_retry_then_null(benchmod, monkeypatch, capsys)
     rec, calls = _drive(benchmod, monkeypatch, capsys, [weird, weird])
     assert rec["value"] is None
     assert len(calls) == 2
+
+
+def test_bare_invocation_benches_all_configs(benchmod, monkeypatch, capsys):
+    # no CLI args -> headline 128^3 b4 plus the three extras in one record
+    script = [
+        _ok_worker(sps=12.0, scan=13.0, batch=4),   # headline
+        _ok_worker(sps=55.0, scan=60.0, batch=4),   # 64^3 b4
+        _ok_worker(sps=4.2, scan=4.6, batch=1),     # 256^3 b1
+        _ok_worker(sps=350.0, scan=480.0, batch=8),  # 2D 256^2 b8
+    ]
+    rec, calls = _drive(benchmod, monkeypatch, capsys, script, argv=())
+    assert rec["value"] == 12.0
+    assert rec["metric"].endswith("128cubed_b4")
+    assert set(rec["configs"]) == {"64cubed_b4", "256cubed_b1", "2d_256sq_b8"}
+    assert rec["configs"]["64cubed_b4"]["sps_scan"] == 60.0
+    assert rec["configs"]["2d_256sq_b8"]["sps"] == 350.0
+    # 2D config dispatched with ndim=2
+    assert calls[3][-3:] == ["8", "0", "2"]
+    # output stays ONE parseable line
+    assert len(json.dumps(rec).splitlines()) == 1
+
+
+def test_extra_config_failure_does_not_kill_headline(benchmod, monkeypatch,
+                                                     capsys):
+    weird = (1, "", "ValueError: kaboom")
+    script = [
+        _ok_worker(sps=12.0, scan=13.0, batch=4),   # headline ok
+        weird, weird,                                # 64^3 fails out
+        _ok_worker(sps=4.2, scan=4.6, batch=1),     # 256^3 ok
+        _ok_worker(sps=350.0, scan=480.0, batch=8),  # 2D ok
+    ]
+    rec, _ = _drive(benchmod, monkeypatch, capsys, script, argv=())
+    assert rec["value"] == 12.0
+    assert rec["configs"]["64cubed_b4"]["sps"] is None
+    assert "diagnostic" in rec["configs"]["64cubed_b4"]
+    assert rec["configs"]["256cubed_b1"]["sps"] == 4.2
