@@ -145,6 +145,30 @@ def _in_unit(d):
     return jnp.logical_and(jnp.all(d >= -1.0), jnp.all(d < 1.0))
 
 
+# Unroll the (static-length) shooting loop below this many substeps.  A
+# lax.scan stacks every substep's VJP residuals with a dynamic-update-slice
+# per iteration and unstacks them in reverse — measured +9.5 ms/step over
+# the identical unrolled program at 128^3 b4 (scripts/expmap_probe.py:
+# scan 73.3 ms vs unroll 63.8 ms fwd+bwd; forward-only is a wash).  Typical
+# integrations are 5-10 substeps, so straight-line code costs little
+# compile time; longer integrations keep the scan for program size.
+_UNROLL_MAX_SUBSTEPS = 16
+
+
+def _run_substeps(fast_step, carry, length, checkpoints):
+    """Run ``length`` substeps of ``fast_step`` (a scan-style body).
+    Static short lengths are Python-unrolled (see _UNROLL_MAX_SUBSTEPS);
+    otherwise a lax.scan."""
+    if checkpoints:
+        fast_step = jax.checkpoint(fast_step)
+    if length <= _UNROLL_MAX_SUBSTEPS:
+        for _ in range(length):
+            carry, _ = fast_step(carry, None)
+        return carry
+    carry, _ = jax.lax.scan(fast_step, carry, None, length=length)
+    return carry
+
+
 def _expmap_fast_flagged(metric, m0, dt, length, phiinv0, mommask,
                          checkpoints, fused):
     """The hoisted fast scan: integrate with static fused unit-tier kernels,
@@ -164,10 +188,8 @@ def _expmap_fast_flagged(metric, m0, dt, length, phiinv0, mommask,
         phiinv = compose_fused(phiinv, v, -dt)
         return (phiinv, ok), None
 
-    if checkpoints:
-        fast_step = jax.checkpoint(fast_step)
-    (fast, ok), _ = jax.lax.scan(
-        fast_step, (phiinv0, jnp.asarray(True)), None, length=length
+    fast, ok = _run_substeps(
+        fast_step, (phiinv0, jnp.asarray(True)), length, checkpoints
     )
     return fast, ok
 
@@ -205,10 +227,8 @@ def _expmap_fast_padres(metric, m0, dt, length, phiinv0, mommask,
         ok = jnp.logical_and(ok, jnp.min(f2) > 0.5)
         return (ppad, ok), None
 
-    if checkpoints:
-        fast_step = jax.checkpoint(fast_step)
-    (ppadT, ok), _ = jax.lax.scan(
-        fast_step, (ppad0, jnp.asarray(True)), None, length=length
+    ppadT, ok = _run_substeps(
+        fast_step, (ppad0, jnp.asarray(True)), length, checkpoints
     )
     return pr.unpad_carry(ppadT, X, Y, Z), ok
 

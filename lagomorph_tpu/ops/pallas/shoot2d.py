@@ -325,10 +325,11 @@ def _compose_bwd_body(H, W, s, phiinv, v, g):
 # ---------------------------------------------------------------------------
 
 
-def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *rest):
+def _shoot_fwd_kernel(T, s, H, W, stash, m0_ref, p0_ref, mn_ref, *rest):
     mat_refs = rest[:8]
     out_ref, flag_ref = rest[8], rest[9]
-    tp_ref, tv_ref, tm_ref = rest[10], rest[11], rest[12]
+    if stash:
+        tp_ref, tv_ref, tm_ref = rest[10], rest[11], rest[12]
     mats = tuple(r[...] for r in mat_refs)
     Mn = mn_ref[...]
     m0 = m0_ref[0]
@@ -338,11 +339,14 @@ def _shoot_fwd_kernel(T, s, H, W, m0_ref, p0_ref, mn_ref, *rest):
     ok = jnp.float32(1.0)
     for _t in range(T):
         ok = jnp.minimum(ok, _flag_of(phiinv))
-        tp_ref[0, _t] = phiinv
+        if stash:
+            tp_ref[0, _t] = phiinv
         m, mw = _adstar_body(H, W, phiinv, m0)
-        tm_ref[0, _t] = mw
+        if stash:
+            tm_ref[0, _t] = mw
         v = _fluid_body(m, Mn, mats)
-        tv_ref[0, _t] = v
+        if stash:
+            tv_ref[0, _t] = v
         ok = jnp.minimum(ok, _flag_of(s * v))
         phiinv = _compose_body(H, W, s, phiinv, v)
     out_ref[0] = phiinv
@@ -418,42 +422,45 @@ def _traj_spec(T, H, W):
     )
 
 
-def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T):
-    """Returns ``(phiinv_T, flags, traj_phiinv, traj_v, traj_mw)``.
+def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T, stash=True):
+    """Returns ``(phiinv_T, flags, traj_phiinv, traj_v, traj_mw)`` when
+    ``stash`` (the VJP forward), else just ``(phiinv_T, flags)``.
 
     The three trajectory tensors (N, T, 2, H, W) are the forward's stashed
     residuals: phiinv_t entering each step, the sharped velocity v_t, and
     the pre-Jacobian warped momentum mw_t.  The backward consumes them
     directly instead of replaying the forward (round-4 finding: the stencil
-    bodies are ROLL-bound, so the replay was ~half the backward's cost)."""
+    bodies are ROLL-bound, so the replay was ~half the backward's cost).
+    Pallas outputs are not DCE'd per-output, so non-grad callers (the
+    primal, eval loops) use ``stash=False`` to skip the 3 HBM trajectory
+    writes entirely (~63 MB/call at 256^2 b8 T=5; ADVICE r4)."""
     N, _, H, W = phiinv0.shape
     Mn, mats = _spectral_inputs(H, W, params, phiinv0.dtype)
     traj = jax.ShapeDtypeStruct((N, T, 2, H, W), phiinv0.dtype)
-    out, flags, tp, tv, tm = pl.pallas_call(
-        partial(_shoot_fwd_kernel, T, s, H, W),
-        out_shape=[
-            jax.ShapeDtypeStruct(phiinv0.shape, phiinv0.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            traj,
-            traj,
-            traj,
-        ],
+    out_shape = [
+        jax.ShapeDtypeStruct(phiinv0.shape, phiinv0.dtype),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    out_specs = [
+        _field_spec(H, W),
+        pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if stash:
+        out_shape += [traj] * 3
+        out_specs += [_traj_spec(T, H, W)] * 3
+    res = pl.pallas_call(
+        partial(_shoot_fwd_kernel, T, s, H, W, stash),
+        out_shape=out_shape,
         grid=(N,),
         in_specs=[_field_spec(H, W)] * 2
         + [_full_spec((H, W))]
         + [_full_spec(m.shape) for m in mats],
-        out_specs=[
-            _field_spec(H, W),
-            pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
-            _traj_spec(T, H, W),
-            _traj_spec(T, H, W),
-            _traj_spec(T, H, W),
-        ],
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(m0b, phiinv0, Mn, *mats)
-    return out, flags, tp, tv, tm
+    return res
 
 
 def _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T):
@@ -484,9 +491,8 @@ def _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _shoot2d_cvjp(phiinv0, m0b, params, s, T):
-    out, flags, _tp, _tv, _tm = _shoot_fwd_dispatch(
-        phiinv0, m0b, params, s, T
-    )
+    # primal (non-grad) path: trajectory-free forward — no HBM stash
+    out, flags = _shoot_fwd_dispatch(phiinv0, m0b, params, s, T, stash=False)
     return out, flags
 
 
