@@ -1,5 +1,13 @@
 """End-to-end LDDMM atlas training on the real TPU chip: N synthetic 3D
-volumes, a few epochs, wall-clock + convergence report."""
+volumes, a few epochs, wall-clock + convergence report.
+
+This is also the north-star runner (BASELINE.json config 4, the analogue of
+the reference's production atlas workload, reference lddmm.py:343-375):
+``python scripts/atlas_e2e_tpu.py 128 128 4 5`` with LM_IMG_DTYPE=bfloat16
+trains a 128-subject 128^3 atlas on one chip.  Set LM_E2E_OUT=<path> to
+dump the full record (per-epoch walls + losses) as JSON for BASELINE.md.
+"""
+import json
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
@@ -51,6 +59,25 @@ print(f"wall: {t1-t0:.1f}s total, {(t1-t0)/epochs:.1f}s/epoch "
       f"(per-epoch: {', '.join(f'{w:.1f}' for w in epoch_walls)}; "
       f"steady-state = later epochs, first includes compile)")
 print("epoch losses:", [f"{l:.6f}" for l in builder.epoch_losses])
+out = os.environ.get("LM_E2E_OUT")
+if out:
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "res": res, "n": n, "bs": bs, "epochs": epochs,
+                "image_dtype": os.environ.get("LM_IMG_DTYPE") or "float32",
+                "keep_data_on_device": builder.keep_data_on_device,
+                "wall_total_s": round(t1 - t0, 2),
+                "epoch_walls_s": [round(w, 2) for w in epoch_walls],
+                "steady_state_s_per_epoch": round(
+                    float(np.mean(epoch_walls[1:] or epoch_walls)), 2
+                ),
+                "epoch_losses": builder.epoch_losses,
+                "epoch_reg_terms": builder.epoch_reg_terms,
+            },
+            f, indent=1,
+        )
+    print("wrote", out)
 # non-increasing with tolerance: near a fixed point successive epoch losses
 # can agree to ~1e-9 and a strict < is flaky
 assert builder.epoch_losses[-1] <= builder.epoch_losses[0] * (1 + 1e-6)
