@@ -458,7 +458,18 @@ class ProcessPrefetcher:
     recycled immediately).  ``get`` on an unsubmitted index falls back to a
     direct in-process read, so callers may prefetch opportunistically.
     Results larger than the slot (first-batch probe) or worker exceptions
-    travel through the result queue instead (pickled / re-raised)."""
+    travel through the result queue instead (pickled / re-raised).
+
+    Fork hazard + watchdog: forking a parent that already runs jax/relay
+    client threads can (rarely, timing-dependent) leave a child holding a
+    lock some other parent thread held at fork time — the child then
+    deadlocks on its first allocation and the batch never lands.  ``get``
+    therefore waits at most ``LM_PREFETCH_TIMEOUT`` seconds (default 120)
+    for in-flight batches; on expiry (or if every worker died) the
+    prefetcher DEGRADES: wedged workers are killed by exact PID, shared
+    memory is released, and this and all future batches are read directly
+    in-process.  Training continues without prefetch overlap instead of
+    hanging."""
 
     def __init__(self, loader, workers=2, depth=None):
         import multiprocessing as mp
@@ -480,6 +491,8 @@ class ProcessPrefetcher:
         # vs staging pool): one lock serializes ring/queue bookkeeping
         self._lock = threading.Lock()
         self._started = False
+        self._failed = False
+        self._timeout = float(os.environ.get("LM_PREFETCH_TIMEOUT", "120"))
         self._pending = {}  # batch index -> slot
         self._ready = {}  # batch index -> result-queue payload
         self._free = []
@@ -539,22 +552,67 @@ class ProcessPrefetcher:
         self._started = True
 
     def _drain_one(self, block=True):
+        """Move one worker result into ``_ready``.  Blocking waits poll in
+        1 s chunks up to ``_timeout`` with a worker-liveness check each
+        chunk; a timeout (wedged fork) or a fully-dead worker pool degrades
+        the prefetcher instead of hanging (returns False)."""
         import queue as _q
+        import time as _time
 
-        try:
-            i, slot, shape, dt, extra = self._done_q.get(block=block)
-        except _q.Empty:
-            return False
+        deadline = _time.monotonic() + self._timeout
+        while True:
+            try:
+                i, slot, shape, dt, extra = self._done_q.get(
+                    block=block, timeout=min(1.0, self._timeout) if block
+                    else None
+                )
+                break
+            except _q.Empty:
+                if not block:
+                    return False
+                alive = any(p.is_alive() for p in self._procs)
+                if not alive or _time.monotonic() >= deadline:
+                    self._degrade(
+                        "workers died" if not alive
+                        else f"no result within {self._timeout:.0f}s "
+                        "(wedged fork?)"
+                    )
+                    return False
         self._ready[i] = (slot, shape, dt, extra)
         self._pending.pop(i, None)
         return True
+
+    def _degrade(self, why):
+        """Kill the worker pool and fall back to direct in-process reads
+        for this and every future batch (called with ``_lock`` held)."""
+        import warnings
+
+        warnings.warn(
+            f"ProcessPrefetcher degraded to direct reads: {why}",
+            RuntimeWarning, stacklevel=3,
+        )
+        self._failed = True
+        for p in self._procs:
+            if p.is_alive():
+                p.kill()  # exact child PID — never pattern-based
+            p.join(timeout=5)
+        for s in self._shm:
+            try:
+                s.close()
+                s.unlink()
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        self._procs, self._shm, self._free = [], [], []
+        self._pending.clear()
+        self._ready.clear()
+        self._started = False
 
     def submit(self, i):
         """Queue batch ``i`` for background materialization (idempotent for
         in-flight/ready indices).  Blocks only when all slots are in use."""
         i = int(i)
         with self._lock:
-            if i in self._pending or i in self._ready:
+            if self._failed or i in self._pending or i in self._ready:
                 return
             if not self._started:
                 self._start()
@@ -567,7 +625,8 @@ class ProcessPrefetcher:
                         "ProcessPrefetcher ring full of unfetched batches: "
                         "call get() before submitting more (or raise depth)"
                     )
-                self._drain_one(block=True)
+                if not self._drain_one(block=True):
+                    return  # degraded while waiting for a slot
             slot = self._free.pop()
             self._pending[i] = slot
             self._task_q.put((i, slot))
@@ -582,14 +641,17 @@ class ProcessPrefetcher:
             else:
                 direct = False
                 while i not in self._ready:
-                    self._drain_one(block=True)
-                slot, shape, dt, extra = self._ready.pop(i)
-                if extra is None:
-                    view = np.ndarray(
-                        shape, np.dtype(dt), buffer=self._shm[slot].buf
-                    )
-                    out = np.array(view)  # copy out, then recycle the slot
-                self._free.append(slot)
+                    if not self._drain_one(block=True):
+                        direct = True  # degraded: batch will never land
+                        break
+                if not direct:
+                    slot, shape, dt, extra = self._ready.pop(i)
+                    if extra is None:
+                        view = np.ndarray(
+                            shape, np.dtype(dt), buffer=self._shm[slot].buf
+                        )
+                        out = np.array(view)  # copy out, recycle the slot
+                    self._free.append(slot)
         if direct:
             return np.asarray(self.loader[i])
         if extra is not None:

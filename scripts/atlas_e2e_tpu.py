@@ -21,9 +21,13 @@ epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 rng = np.random.default_rng(0)
 grid = np.stack(np.meshgrid(*[np.arange(res, dtype=np.float64)] * 3, indexing="ij"))
 c = (res - 1) / 2
+# subject spread and learning rates are env-tunable: the defaults make a
+# mild, fast-converging population; the north-star record uses a larger
+# offset spread (LM_OFF) so the pose solve has real work to show a curve
+off_scale = float(os.environ.get("LM_OFF", "2"))
 imgs = []
 for _ in range(n):
-    off = rng.uniform(-2, 2, 3)
+    off = rng.uniform(-off_scale, off_scale, 3)
     w = res / 6 * (1 + 0.1 * rng.standard_normal())
     r2 = sum((grid[d] - c - off[d]) ** 2 for d in range(3))
     imgs.append(np.exp(-r2 / (2 * w**2)))
@@ -35,8 +39,8 @@ builder = lm.LDDMMAtlasBuilder(
     batch_size=bs,
     lddmm_integration_steps=5,
     reg_weight=1e-2,
-    learning_rate_pose=1e-3,
-    learning_rate_image=50.0,
+    learning_rate_pose=float(os.environ.get("LM_LR_POSE", "1e-3")),
+    learning_rate_image=float(os.environ.get("LM_LR_IMAGE", "50.0")),
     metric=lm.FluidMetric([0.05, 0.0, 0.05]),
     keep_data_on_device=os.environ.get("LM_ON_DEVICE", "1") == "1",
     loader_workers=int(os.environ.get("LM_WORKERS", "0")),

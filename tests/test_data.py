@@ -256,6 +256,51 @@ def test_process_prefetcher_oversize_and_errors():
         pf.close()
 
 
+def test_process_prefetcher_degrades_instead_of_hanging(monkeypatch):
+    """Watchdog: a worker pool that never delivers (wedged fork / dead
+    workers) degrades to direct in-process reads within the timeout rather
+    than blocking get() forever."""
+    monkeypatch.setenv("LM_PREFETCH_TIMEOUT", "2")
+
+    class Stuck:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if os.getpid() != _PARENT_PID:  # in a worker: never deliver
+                import time as _t
+
+                _t.sleep(3600)
+            return np.full((4,), float(i), np.float32)
+
+    global _PARENT_PID
+    _PARENT_PID = os.getpid()
+    pf = ld.ProcessPrefetcher(Stuck(), workers=1, depth=2)
+    try:
+        pf.submit(1)
+        with pytest.warns(RuntimeWarning, match="degraded"):
+            out = pf.get(1)  # returns via direct read after the timeout
+        assert np.array_equal(out, np.full((4,), 1.0, np.float32))
+        assert pf._failed and not pf._procs
+        pf.submit(2)  # no-op once degraded
+        assert np.array_equal(pf.get(2), np.full((4,), 2.0, np.float32))
+
+        # dead-pool branch: killed workers are detected well before the
+        # timeout (liveness check each 1 s poll chunk)
+        pf2 = ld.ProcessPrefetcher(Stuck(), workers=1, depth=2)
+        pf2.submit(1)
+        for p in pf2._procs:
+            p.kill()
+            p.join()
+        with pytest.warns(RuntimeWarning, match="degraded"):
+            assert np.array_equal(
+                pf2.get(1), np.full((4,), 1.0, np.float32)
+            )
+        pf2.close()
+    finally:
+        pf.close()
+
+
 def test_atlas_builder_process_loader(h5file, tmp_path):
     """LDDMMAtlasBuilder(loader_workers=2, loader_mode='process') trains to
     the same state as synchronous staging."""
