@@ -233,14 +233,25 @@ def _expmap_fast_padres(metric, m0, dt, length, phiinv0, mommask,
     return pr.unpad_carry(ppadT, X, Y, Z), ok
 
 
-def _expmap_general(metric, m0, dt, length, phiinv0, mommask):
-    """Exact general-tier integration (the fallback branch of the hoisted
-    fast path); every step is rematerialized."""
+def _expmap_general(metric, m0, dt, length, phiinv0, mommask,
+                    mode="auto"):
+    """Exact fallback integration for trajectories that left the unit
+    regime; every step is rematerialized.
+
+    ``mode="auto"`` (default) keeps per-step runtime tier conds: |d| < 1
+    substeps still use the fused stencil, |d| <= R the dense offset sweep
+    (scatter-free custom VJP), and only the extreme tail the true gather.
+    This is exact in every regime (the tiers agree exactly inside their
+    validity bounds) while avoiding XLA scatter for realistic
+    out-of-regime trajectories — the forced-gather form (``mode=
+    "general"``) is ~30x slower at 64^3 b4 and its 5-step backward
+    crashes the remote TPU worker outright at 128^3 b4 (round-5 finding;
+    single steps and the bounded/auto forms run fine)."""
 
     def step(phiinv, _):
         return EPDiff_step(
             metric, m0, dt, phiinv, mommask=mommask,
-            transport_mode="general", compose_mode="general",
+            transport_mode=mode, compose_mode=mode,
         ), None
 
     phiinv, _ = jax.lax.scan(

@@ -37,7 +37,7 @@ builder = lm.LDDMMAtlasBuilder(
     list(imgs),
     num_epochs=epochs,
     batch_size=bs,
-    lddmm_integration_steps=5,
+    lddmm_integration_steps=int(os.environ.get("LM_T", "5")),
     reg_weight=1e-2,
     learning_rate_pose=float(os.environ.get("LM_LR_POSE", "1e-3")),
     learning_rate_image=float(os.environ.get("LM_LR_IMAGE", "50.0")),
