@@ -61,17 +61,44 @@ def set_shoot2d(enabled: bool):
     return prev
 
 
+def _budget(H, W, T, stream):
+    """Modeled backward-kernel VMEM bytes.  Resident mode keeps all 3T
+    stashed trajectory planes as pipeline-double-buffered blocks; streaming
+    mode keeps the trajectories in HBM and hand-DMAs one (2, H, W) plane
+    per trajectory per step through a 2-slot ring (6 planes total),
+    independent of T."""
+    if stream:
+        planes = 2 * (2 + 2) + 12 + 2 * 3
+    else:
+        planes = 2 * (2 + 3 * T + 2) + 12
+    return (planes * 2 * H * W + 8 * (H * H + W * W) + H * W) * 4
+
+
+def _stream_mode(H, W, T) -> bool:
+    """Stream trajectory planes iff the resident form would not fit the
+    80 MB envelope (so bench-validated small shapes keep the byte-identical
+    resident kernels).  LAGO_SHOOT2D_STREAM=0/1 forces, for A/Bs."""
+    import os
+
+    env = os.environ.get("LAGO_SHOOT2D_STREAM", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return _budget(H, W, T, False) > 80 * 1024 * 1024
+
+
 def supported(p_shape, dtype, params, T) -> bool:
     """Gate: 2D f32 2-channel fields, lane-aligned W, sublane-aligned H,
     a scalar (beta == 0) fluid multiplier, and a VMEM budget check.
 
     The budget models the BACKWARD mega-kernel (the larger of the pair):
-    grid-indexed blocks (m0, g, THREE (T, 2, H, W) stashed trajectories —
-    phiinv/v/mw — and the two output fields) are double-buffered by the
-    Pallas pipeline, so they count twice; the DFT matrices and Mn are
-    grid-invariant (single-buffered); and the reverse-sweep body keeps
-    ~12 whole-plane temporaries live.  Headroom vs the 100 MB
-    vmem_limit_bytes the dispatches request is kept at ~20%."""
+    grid-indexed blocks (m0, g and the two output fields) are
+    double-buffered by the Pallas pipeline, so they count twice; the DFT
+    matrices and Mn are grid-invariant (single-buffered); the reverse-sweep
+    body keeps ~12 whole-plane temporaries live; and the three stashed
+    (T, 2, H, W) trajectories are either pipeline-resident (small shapes)
+    or hand-streamed plane-by-plane from HBM (large shapes / deep T —
+    admits 512^2, the reference's demo resolution class).  Headroom vs the
+    100 MB vmem_limit_bytes the dispatches request is kept at ~20%."""
     if not (_ENABLED and _HAVE_PALLAS and wu.pallas_warp_enabled()):
         return False
     if dtype != jnp.float32:
@@ -85,10 +112,7 @@ def supported(p_shape, dtype, params, T) -> bool:
     H, W = p_shape[2:]
     if H % 8 or W % 128 or H > 512 or W > 512:
         return False
-    # field plane = (2, H, W) f32; double-buffered: 2 in + 3T traj + 2 out
-    planes = 2 * (2 + 3 * T + 2) + 12
-    budget = (planes * 2 * H * W + 8 * (H * H + W * W) + H * W) * 4
-    return budget <= 80 * 1024 * 1024
+    return _budget(H, W, T, _stream_mode(H, W, T)) <= 80 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -325,30 +349,57 @@ def _compose_bwd_body(H, W, s, phiinv, v, g):
 # ---------------------------------------------------------------------------
 
 
-def _shoot_fwd_kernel(T, s, H, W, stash, m0_ref, p0_ref, mn_ref, *rest):
+def _shoot_fwd_kernel(T, s, H, W, stash, stream, m0_ref, p0_ref, mn_ref,
+                      *rest):
     mat_refs = rest[:8]
     out_ref, flag_ref = rest[8], rest[9]
     if stash:
         tp_ref, tv_ref, tm_ref = rest[10], rest[11], rest[12]
+        if stream:
+            tbuf, tsem = rest[13], rest[14]
     mats = tuple(r[...] for r in mat_refs)
     Mn = mn_ref[...]
     m0 = m0_ref[0]
     phiinv = p0_ref[0]
     n = pl.program_id(0)
 
+    def emit(t, k, ref, val):
+        """Stash plane ``val`` as trajectory ``k``'s step ``t``: direct VMEM
+        store (resident) or a 2-slot-ring DMA to HBM (streaming) — the copy
+        started at step t drains while step t+1 computes; its slot is
+        reclaimed at step t+2."""
+        if not stream:
+            ref[0, t] = val
+            return
+        slot = t % 2
+        if t >= 2:
+            pltpu.make_async_copy(
+                tbuf.at[slot, k], ref.at[n, t - 2], tsem.at[slot, k]
+            ).wait()
+        tbuf[slot, k] = val
+        pltpu.make_async_copy(
+            tbuf.at[slot, k], ref.at[n, t], tsem.at[slot, k]
+        ).start()
+
     ok = jnp.float32(1.0)
     for _t in range(T):
         ok = jnp.minimum(ok, _flag_of(phiinv))
         if stash:
-            tp_ref[0, _t] = phiinv
+            emit(_t, 0, tp_ref, phiinv)
         m, mw = _adstar_body(H, W, phiinv, m0)
         if stash:
-            tm_ref[0, _t] = mw
+            emit(_t, 2, tm_ref, mw)
         v = _fluid_body(m, Mn, mats)
         if stash:
-            tv_ref[0, _t] = v
+            emit(_t, 1, tv_ref, v)
         ok = jnp.minimum(ok, _flag_of(s * v))
         phiinv = _compose_body(H, W, s, phiinv, v)
+    if stash and stream:  # drain the last <=2 steps' in-flight copies
+        for _t in range(max(0, T - 2), T):
+            for k, ref in ((0, tp_ref), (1, tv_ref), (2, tm_ref)):
+                pltpu.make_async_copy(
+                    tbuf.at[_t % 2, k], ref.at[n, _t], tsem.at[_t % 2, k]
+                ).wait()
     out_ref[0] = phiinv
 
     @pl.when(n == 0)
@@ -358,21 +409,46 @@ def _shoot_fwd_kernel(T, s, H, W, stash, m0_ref, p0_ref, mn_ref, *rest):
     flag_ref[0, 0] = jnp.minimum(flag_ref[0, 0], ok)
 
 
-def _shoot_bwd_kernel(T, s, H, W, m0_ref, g_ref, mn_ref, *rest):
+def _shoot_bwd_kernel(T, s, H, W, stream, m0_ref, g_ref, mn_ref, *rest):
     mat_refs = rest[:8]
     tp_ref, tv_ref, tm_ref = rest[8], rest[9], rest[10]
     dm0_ref, dp0_ref = rest[11], rest[12]
+    if stream:
+        rbuf, rsem = rest[13], rest[14]
     mats = tuple(r[...] for r in mat_refs)
     Mn = mn_ref[...]
     m0 = m0_ref[0]
+    n = pl.program_id(0)
+    trefs = (tp_ref, tv_ref, tm_ref)
+
+    def prefetch(t):
+        for k, ref in enumerate(trefs):
+            pltpu.make_async_copy(
+                ref.at[n, t], rbuf.at[t % 2, k], rsem.at[t % 2, k]
+            ).start()
+
+    def planes_at(t):
+        """(phiinv_t, v_t, mw_t): VMEM-resident block reads, or the
+        streamed slot (waited, with step t-1's fetch already in flight)."""
+        if not stream:
+            return tp_ref[0, t], tv_ref[0, t], tm_ref[0, t]
+        slot = t % 2
+        for k, ref in enumerate(trefs):
+            pltpu.make_async_copy(
+                ref.at[n, t], rbuf.at[slot, k], rsem.at[slot, k]
+            ).wait()
+        if t > 0:
+            prefetch(t - 1)
+        return rbuf[slot, 0], rbuf[slot, 1], rbuf[slot, 2]
+
+    if stream:
+        prefetch(T - 1)
 
     # reverse sweep over the forward's stashed trajectory (no replay)
     g = g_ref[0]
     dm0 = jnp.zeros((2, H, W), dtype=g.dtype)
     for t in reversed(range(T)):
-        p_t = tp_ref[0, t]
-        v_t = tv_ref[0, t]
-        mw_t = tm_ref[0, t]
+        p_t, v_t, mw_t = planes_at(t)
         dp_prev, dv = _compose_bwd_body(H, W, s, p_t, v_t, g)
         dm = _fluid_body(dv, Mn, mats)  # K is self-adjoint
         dpa, dm0_t = _adstar_bwd_body(H, W, p_t, m0, dm, mw_t)
@@ -433,8 +509,13 @@ def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T, stash=True):
     bodies are ROLL-bound, so the replay was ~half the backward's cost).
     Pallas outputs are not DCE'd per-output, so non-grad callers (the
     primal, eval loops) use ``stash=False`` to skip the 3 HBM trajectory
-    writes entirely (~63 MB/call at 256^2 b8 T=5; ADVICE r4)."""
+    writes entirely (~63 MB/call at 256^2 b8 T=5; ADVICE r4).
+
+    At shapes where the 3T resident trajectory planes overflow the VMEM
+    envelope (512^2, deep T — see ``_stream_mode``) the trajectories are
+    ANY-space outputs written plane-by-plane through a 2-slot DMA ring."""
     N, _, H, W = phiinv0.shape
+    stream = stash and _stream_mode(H, W, T)
     Mn, mats = _spectral_inputs(H, W, params, phiinv0.dtype)
     traj = jax.ShapeDtypeStruct((N, T, 2, H, W), phiinv0.dtype)
     out_shape = [
@@ -445,17 +526,26 @@ def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T, stash=True):
         _field_spec(H, W),
         pl.BlockSpec((1, 1), lambda n: (0, 0), memory_space=pltpu.SMEM),
     ]
+    scratch = []
     if stash:
         out_shape += [traj] * 3
-        out_specs += [_traj_spec(T, H, W)] * 3
+        if stream:
+            out_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+            scratch = [
+                pltpu.VMEM((2, 3, 2, H, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+        else:
+            out_specs += [_traj_spec(T, H, W)] * 3
     res = pl.pallas_call(
-        partial(_shoot_fwd_kernel, T, s, H, W, stash),
+        partial(_shoot_fwd_kernel, T, s, H, W, stash, stream),
         out_shape=out_shape,
         grid=(N,),
         in_specs=[_field_spec(H, W)] * 2
         + [_full_spec((H, W))]
         + [_full_spec(m.shape) for m in mats],
         out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -465,9 +555,19 @@ def _shoot_fwd_dispatch(phiinv0, m0b, params, s, T, stash=True):
 
 def _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T):
     N, _, H, W = g.shape
+    stream = _stream_mode(H, W, T)
     Mn, mats = _spectral_inputs(H, W, params, g.dtype)
+    if stream:
+        tspecs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        scratch = [
+            pltpu.VMEM((2, 3, 2, H, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+    else:
+        tspecs = [_traj_spec(T, H, W)] * 3
+        scratch = []
     dm0, dp0 = pl.pallas_call(
-        partial(_shoot_bwd_kernel, T, s, H, W),
+        partial(_shoot_bwd_kernel, T, s, H, W, stream),
         out_shape=[
             jax.ShapeDtypeStruct(g.shape, g.dtype),
             jax.ShapeDtypeStruct(g.shape, g.dtype),
@@ -476,12 +576,13 @@ def _shoot_bwd_dispatch(m0b, g, tp, tv, tm, params, s, T):
         in_specs=[_field_spec(H, W)] * 2
         + [_full_spec((H, W))]
         + [_full_spec(m.shape) for m in mats]
-        + [_traj_spec(T, H, W)] * 3,
+        + tspecs,
         out_specs=[_field_spec(H, W)] * 2,
+        scratch_shapes=scratch,
         # the reverse sweep's live set (compose-bwd + Ad*-bwd temporaries
-        # over whole planes + the 3 T-step trajectory blocks) runs above
-        # the 64M default-ish cap at 256^2 T=5, comfortably under the
-        # 128M physical
+        # over whole planes + the 3 T-step trajectory blocks when resident)
+        # runs above the 64M default-ish cap at 256^2 T=5, comfortably
+        # under the 128M physical
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

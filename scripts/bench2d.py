@@ -23,6 +23,11 @@ def main():
     rng = np.random.default_rng(0)
     sp = (res, res)
     metric = lm.FluidMetric([0.1, 0.0, 0.01])
+    if os.environ.get("LM_SHOOT2D", "1") == "0":  # A/B: per-op 2D path
+        from lagomorph_tpu.ops.pallas import shoot2d as _s2
+
+        _s2.set_shoot2d(False)
+        print("shoot2d mega-kernel DISABLED (per-op path)", flush=True)
 
     I = jnp.asarray(rng.standard_normal((1, 1) + sp), dtype=jnp.float32)
     img = jnp.asarray(rng.standard_normal((B, 1) + sp), dtype=jnp.float32)

@@ -367,6 +367,19 @@ def main():
                          metric2.params, -dt, Tn)
     ok &= check("shoot2d broadcast m0", h_b, h_bb, 1e-12)
 
+    # streaming-trajectory variant (the 512^2 / deep-T form: trajectories
+    # in HBM, hand-DMAed plane-by-plane) must be BIT-exact vs resident
+    os.environ["LAGO_SHOOT2D_STREAM"] = "1"
+    try:
+        (l2s, (h2s, _)), g2s = jax.value_and_grad(
+            loss_s2, has_aux=True)(ms2)
+        gp2s = jax.grad(loss_s2p)(pp0)
+    finally:
+        os.environ.pop("LAGO_SHOOT2D_STREAM", None)
+    ok &= check("shoot2d stream phiinv", h2s, h2, 1e-30)
+    ok &= check("shoot2d stream grad d_m0", g2s, g2, 1e-30)
+    ok &= check("shoot2d stream grad d_phiinv0", gp2s, gp2, 1e-30)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
