@@ -340,6 +340,9 @@ EXTRA_CONFIGS = (
     ("64cubed_b4", 64, 4, 3),
     ("256cubed_b1", 256, 1, 3),
     ("2d_256sq_b8", 256, 8, 2),
+    # streaming-trajectory mega-kernel territory (round 5): the 3T stashed
+    # planes are hand-DMAed through a 2-slot ring instead of held resident
+    ("2d_512sq_b8", 512, 8, 2),
 )
 
 

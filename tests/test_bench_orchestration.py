@@ -112,21 +112,26 @@ def test_unknown_failure_gets_one_retry_then_null(benchmod, monkeypatch, capsys)
 
 
 def test_bare_invocation_benches_all_configs(benchmod, monkeypatch, capsys):
-    # no CLI args -> headline 128^3 b4 plus the three extras in one record
+    # no CLI args -> headline 128^3 b4 plus the four extras in one record
     script = [
         _ok_worker(sps=12.0, scan=13.0, batch=4),   # headline
         _ok_worker(sps=55.0, scan=60.0, batch=4),   # 64^3 b4
         _ok_worker(sps=4.2, scan=4.6, batch=1),     # 256^3 b1
         _ok_worker(sps=350.0, scan=480.0, batch=8),  # 2D 256^2 b8
+        _ok_worker(sps=96.0, scan=105.0, batch=8),  # 2D 512^2 b8
     ]
     rec, calls = _drive(benchmod, monkeypatch, capsys, script, argv=())
     assert rec["value"] == 12.0
     assert rec["metric"].endswith("128cubed_b4")
-    assert set(rec["configs"]) == {"64cubed_b4", "256cubed_b1", "2d_256sq_b8"}
+    assert set(rec["configs"]) == {
+        "64cubed_b4", "256cubed_b1", "2d_256sq_b8", "2d_512sq_b8"
+    }
     assert rec["configs"]["64cubed_b4"]["sps_scan"] == 60.0
     assert rec["configs"]["2d_256sq_b8"]["sps"] == 350.0
-    # 2D config dispatched with ndim=2
+    assert rec["configs"]["2d_512sq_b8"]["sps_scan"] == 105.0
+    # 2D configs dispatched with ndim=2
     assert calls[3][-3:] == ["8", "0", "2"]
+    assert calls[4][-3:] == ["8", "0", "2"]
     # output stays ONE parseable line
     assert len(json.dumps(rec).splitlines()) == 1
 
@@ -138,7 +143,8 @@ def test_extra_config_failure_does_not_kill_headline(benchmod, monkeypatch,
         _ok_worker(sps=12.0, scan=13.0, batch=4),   # headline ok
         weird, weird,                                # 64^3 fails out
         _ok_worker(sps=4.2, scan=4.6, batch=1),     # 256^3 ok
-        _ok_worker(sps=350.0, scan=480.0, batch=8),  # 2D ok
+        _ok_worker(sps=350.0, scan=480.0, batch=8),  # 2D 256^2 ok
+        _ok_worker(sps=96.0, scan=105.0, batch=8),  # 2D 512^2 ok
     ]
     rec, _ = _drive(benchmod, monkeypatch, capsys, script, argv=())
     assert rec["value"] == 12.0
